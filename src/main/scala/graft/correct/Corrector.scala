@@ -1,0 +1,158 @@
+package graft.correct
+
+import graft.tokenize.Tokenizer
+import graft.train.{ErrorModelTrainer, Lexicon, LexiconBuilder}
+import graft.wfst.Wfst
+import scala.collection.mutable
+
+/** One decoding alternative for a lattice edge: output string and
+  * tropical weight (conf = 2^-weight at the PageXML surface — preserved
+  * quirk of lib/latticegen.py:176). */
+final case class Alt(text: String, weight: Double) {
+  def conf: Double = math.pow(2.0, -weight)
+}
+
+/** Hypothesis lattice over token boundaries 0..nTokens
+  * (lib/latticegen.py:150-181 graph form; the FST form is only ever
+  * shortest-path'd, which `viterbi` does directly). */
+final case class Lattice(nTokens: Int, edges: Map[(Int, Int), Seq[Alt]])
+
+/** Compiled correction model, built once on the driver and broadcast
+  * (the COW-fork analogue of scripts/process.py:14,55-70). Both FSTs are
+  * arcSort'd for composition. */
+final case class CompiledModel(
+    errorFst: Option[Wfst],
+    windowFst: Wfst,
+    pruningWeight: Double = 5.0,
+    rejectionWeight: Double = 1.5,
+    maxWindowSize: Int = 2,
+    wordsPerWindow: Int = 3) extends Serializable
+
+object CompiledModel {
+  /** lexicon_to_window_fst (lib/latticegen.py:127-139):
+    * (lex . " ")^{0..wordsPerWindow-1} . lex, arcsorted (:205). */
+  def windowFstFrom(lexiconFst: Wfst, wordsPerWindow: Int): Wfst = {
+    val w =
+      if (wordsPerWindow == 1) lexiconFst
+      else lexiconFst.concat(Wfst.acceptor(" "))
+        .closure(0, wordsPerWindow - 1).concat(lexiconFst)
+    w.rmEpsilon.arcSort
+  }
+
+  /** Driver-side compile from training pairs + optional wordlist —
+    * the full train-then-load path (scripts/train.py + FSTLatticeGenerator
+    * init, lib/latticegen.py:198-212). */
+  def train(pairs: Iterable[(String, String)],
+      wordlist: Map[String, Long] = Map.empty,
+      maxContext: Int = 3, maxErrors: Int = 3,
+      wordsPerWindow: Int = 3,
+      pruningWeight: Double = 5.0,
+      rejectionWeight: Double = 1.5): CompiledModel = {
+    val gtLines = pairs.map(_._2)
+    val lexicon = LexiconBuilder.buildLexicon(gtLines, wordlist)
+    val lexFst = LexiconBuilder.lexiconToFst(lexicon)
+    val errorFst = ErrorModelTrainer.trainSimple(pairs, maxContext, maxErrors)
+    CompiledModel(Some(errorFst), windowFstFrom(lexFst, wordsPerWindow),
+      pruningWeight, rejectionWeight, maxWindowSize = 2, wordsPerWindow)
+  }
+
+  def fromFsts(lexiconFst: Wfst, errorFst: Option[Wfst],
+      wordsPerWindow: Int = 3, pruningWeight: Double = 5.0,
+      rejectionWeight: Double = 1.5): CompiledModel =
+    CompiledModel(errorFst.map(_.arcSort),
+      windowFstFrom(lexiconFst, wordsPerWindow),
+      pruningWeight, rejectionWeight, 2, wordsPerWindow)
+}
+
+/** The per-line correction dataflow, B1-B11 of SURVEY.md §2. Pure
+  * functions — executed inside `mapPartitions` closures on executors. */
+object Corrector {
+
+  /** process_window (lib/latticegen.py:38-69): cascade each model FST:
+    * compose -> project(output) -> prune -> optimize; union an identity
+    * rejection hypothesis for single-token windows with weight
+    * rejection_weight*(len+2) (the naive OOV model, :56-66). */
+  def processWindow(inputStr: String, model: CompiledModel): Wfst = {
+    var w = Wfst.acceptor(inputStr)
+    val cascade = model.errorFst.toSeq :+ model.windowFst
+    for (fst <- cascade) {
+      w = w.compose(fst).projectOutput
+        .prune(model.pruningWeight).rmEpsilon
+    }
+    if (!inputStr.contains(' ')) {
+      val len = inputStr.codePointCount(0, inputStr.length)
+      w = w.union(Wfst.acceptor(inputStr,
+        model.rejectionWeight * (len + 2)))
+    }
+    w
+  }
+
+  /** Window enumeration (lib/latticegen.py:214-218) + per-window
+    * processing; returns the lattice in graph form. Alternatives carry
+    * determinization semantics: distinct strings, min weight (pynini
+    * optimize()+paths(), SURVEY.md §2 row B9). */
+  def latticeFromString(line: String, model: CompiledModel): Lattice = {
+    val tokens = Tokenizer.splitInputString(line)
+    val n = tokens.length
+    val edges = mutable.HashMap.empty[(Int, Int), Seq[Alt]]
+    var i = 0
+    while (i < n) {
+      var j = 1
+      while (j <= math.min(model.maxWindowSize, n - i)) {
+        val winStr = tokens.slice(i, i + j).mkString(" ")
+        val fst = processWindow(winStr, model)
+        val alts = fst.distinctOutputs().map { case (s, w) => Alt(s, w) }
+        if (alts.nonEmpty) edges((i, i + j)) = alts
+        j += 1
+      }
+      i += 1
+    }
+    Lattice(n, edges.toMap)
+  }
+
+  /** Tropical shortest path through the lattice = the FST-form
+    * recombine+shortestpath (lib/latticegen.py:72-124,142-147): windows
+    * spliced between token boundaries, space-joined. */
+  def viterbi(lattice: Lattice): Option[String] = {
+    val n = lattice.nTokens
+    if (n == 0) return None
+    val best = Array.fill(n + 1)(Double.PositiveInfinity)
+    val bp = Array.fill(n + 1)(-1)
+    val bpAlt = Array.fill[Alt](n + 1)(null)
+    best(0) = 0.0
+    var i = 0
+    while (i < n) {
+      if (!best(i).isInfinity) {
+        var j = 1
+        while (i + j <= n) {
+          lattice.edges.get((i, i + j)).foreach { alts =>
+            val a = alts.head // sorted by (weight, text): head is argmin
+            val cand = best(i) + a.weight
+            if (cand < best(i + j)) {
+              best(i + j) = cand; bp(i + j) = i; bpAlt(i + j) = a
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (best(n).isInfinity) None
+    else {
+      var parts = List.empty[String]
+      var cur = n
+      while (cur > 0) { parts ::= bpAlt(cur).text; cur = bp(cur) }
+      Some(parts.mkString(" "))
+    }
+  }
+
+  /** correct_string (scripts/process.py:30-40), FST path: line ->
+    * lattice -> shortest path. Empty/whitespace-only lines pass through
+    * unchanged (the reference never sees them: its loaders skip empties,
+    * lib/helper.py:41-55). */
+  def correctLine(line: String, model: CompiledModel): String = {
+    if (Tokenizer.splitInputString(line).isEmpty) return line
+    val lattice = latticeFromString(line, model)
+    viterbi(lattice).getOrElse(line)
+  }
+}
