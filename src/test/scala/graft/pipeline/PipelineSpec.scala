@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.Fixtures
+import graft.correct.{CompiledModel, Corrector}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark end-to-end per SURVEY.md §5.4: synthesized interleaved Doc
+  * table, full job on local[*], span-sequence equality invariant,
+  * accumulators, idempotent resume. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  lazy val model: CompiledModel =
+    CompiledModel.train(Fixtures.trainingPairs, Fixtures.wordlist)
+
+  test("doc generation is deterministic and partition-independent") {
+    val a = DocGen.docs(spark, 50, seed = 7L, partitions = 2).collect()
+    val b = DocGen.docs(spark, 50, seed = 7L, partitions = 8).collect()
+    assert(a.sortBy(_.doc_id).toSeq == b.sortBy(_.doc_id).toSeq)
+    val kinds = a.flatMap(_.spans).map(_.kind).toSet
+    assert(kinds.contains("text"))
+    assert((kinds - "text").nonEmpty) // media spans present
+  }
+
+  test("correction preserves span-sequence (kind, media_ref, order) and fixes text") {
+    val docs = DocGen.docs(spark, 40, seed = 11L, partitions = 4)
+    val bc = CorrectionJob.broadcastModel(spark, model)
+    val metrics = Metrics(spark)
+    val out = CorrectionJob.correctDocs(docs, bc, Some(metrics),
+      saltPartitions = Some(4)).collect().map(d => d.doc_id -> d).toMap
+    val in = docs.collect()
+    assert(out.size == in.length)
+    for (d <- in) {
+      val o = out(d.doc_id)
+      assert(o.spans.length == d.spans.length)
+      for ((s, os) <- d.spans.zip(o.spans)) {
+        assert(os.kind == s.kind)
+        assert(os.media_ref == s.media_ref)
+        assert(os.offset == s.offset)
+        if (s.kind != "text") assert(os.text == s.text) // media untouched
+        else assert(os.text == Corrector.correctLine(s.text, model))
+      }
+    }
+    assert(metrics.docs.value == 40L)
+    assert(metrics.textSpans.value > 0L)
+    assert(metrics.mediaSpans.value > 0L)
+    assert(metrics.spansChanged.value > 0L)
+  }
+
+  test("chunked (skew-splitting) path produces identical output") {
+    val docs = DocGen.docs(spark, 30, seed = 5L, partitions = 4)
+    val bc = CorrectionJob.broadcastModel(spark, model)
+    val a = CorrectionJob.correctDocs(docs, bc).collect()
+      .sortBy(_.doc_id).toSeq
+    val b = CorrectionJob.correctDocsChunked(docs, bc, chunkSize = 8)
+      .collect().sortBy(_.doc_id).toSeq
+    assert(a == b)
+  }
+
+  test("bucketed write commits manifests; resume completes and matches one-shot") {
+    val base = Files.createTempDirectory("graft-io").toString
+    val docs = DocGen.docs(spark, 60, seed = 3L, partitions = 4)
+
+    // one-shot reference write
+    val p1 = s"$base/oneshot"
+    val ms = TableIO.writeDocs(docs, p1, buckets = 8)
+    assert(ms.map(_.bucket).toSet == (0 until 8).toSet)
+    assert(ms.map(_.numDocs).sum == 60L)
+    val r1 = TableIO.readDocs(spark, p1).collect().sortBy(_.doc_id).toSeq
+
+    // interrupted write (fails after 3 buckets), then resume
+    val p2 = s"$base/resumed"
+    intercept[TableIO.InjectedFailure] {
+      TableIO.writeDocs(docs, p2, buckets = 8, failAfterBuckets = Some(3))
+    }
+    val committedBefore = TableIO.committedBuckets(p2)
+    assert(committedBefore.size == 3)
+    val resumed = TableIO.writeDocs(docs, p2, buckets = 8, attemptId = "attempt-1")
+    assert(resumed.map(_.bucket).toSet == (0 until 8).toSet -- committedBefore)
+    val r2 = TableIO.readDocs(spark, p2).collect().sortBy(_.doc_id).toSeq
+    assert(r1 == r2)
+
+    // fully-committed table: a re-run is a no-op
+    assert(TableIO.writeDocs(docs, p2, buckets = 8, attemptId = "attempt-2").isEmpty)
+  }
+
+  private object Files {
+    def createTempDirectory(prefix: String): java.nio.file.Path =
+      java.nio.file.Files.createTempDirectory(prefix)
+  }
+}
