@@ -1,13 +1,57 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.correct.CompiledModel
+import graft.pipeline.{CorrectionJob, DocGen}
+import graft.queries.{Oracles, Queries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship (SURVEY.md §3.1): correct a synthesized interleaved
+    * text+media Doc table with a model trained on perturbed/GT line
+    * pairs — broadcast model, mapPartitions, media pass-through. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pairs = DocGen.gtLines.zipWithIndex.map { case (gt, i) =>
+      (DocGen.perturb(gt, i.toLong), gt)
+    }
+    val model = CompiledModel.train(pairs)
+    val docs = DocGen.docs(spark, nDocs = 100, seed = 42L, partitions = 8)
+    val bc = CorrectionJob.broadcastModel(spark, model)
+    CorrectionJob.correctDocs(docs, bc, saltPartitions = Some(8)).toDF()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sources + correction dataflow (A/B rows; FST ops fixture-validated)
+    "q_correct_docs" -> (Queries.qCorrectDocs(_, _)),
+    // training: lexicon (C rows)
+    "q_token_counts" -> (Queries.qTokenCounts(_, _)),
+    "q_lexicon_counts" -> (Queries.qLexiconCounts(_, _)),
+    "q_lexicon_weights" -> (Queries.qLexiconWeights(_, _)),
+    // training: error model (D rows)
+    "q_confusion_counts" -> (Queries.qConfusionCounts(_, _)),
+    // training: ST/ngram stats (E rows)
+    "q_ngram_topk" -> (Queries.qNgramTopk(_, _)),
+    // evaluation (F rows)
+    "q_cer_lev" -> (Queries.qCerLev(_, _)),
+    "q_eval_metrics" -> (Queries.qEvalMetrics(_, _)),
+    // training-data pipeline: dedup
+    "q_dedup_exact" -> (Queries.qDedupExact(_, _)),
+    "q_dedup_minhash" -> (Queries.qDedupMinhash(_, _)),
+    "q_ngram_jaccard" -> (Queries.qNgramJaccard(_, _)),
+    "q_simhash" -> (Queries.qSimhash(_, _)),
+    // training-data pipeline: similarity search
+    "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),
+    "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),
+    // training-data pipeline: text analysis
+    "q_quality" -> (Queries.qQuality(_, _)),
+    "q_token_count_regex" -> (Queries.qTokenCountRegex(_, _)),
+    "q_lang_id" -> (Queries.qLangId(_, _)),
+    "q_fingerprint" -> (Queries.qFingerprint(_, _)))
+
+  /** DuckDB oracle SQL for the SQL-expressible queries; FST/alignment
+    * queries are omitted (rows-only check) and validated by the golden
+    * fixtures in src/test instead. */
+  def oracleSql: Map[String, String] = Oracles.all
 }

@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.tokenize.Tokenizer
+
+/** DuckDB oracle SQL for every SQL-expressible query in `Queries`.
+  * Column names/aliases match the Spark side exactly (the driver's
+  * compare sorts columns by name before hashing). All outputs carry a
+  * deterministic ORDER BY; floats are rounded on both sides. */
+object Oracles {
+
+  private val TOK = Tokenizer.TokenRegex
+
+  val qTokenCounts: String =
+    """SELECT token, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin
+
+  private val lexiconCtes: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(text, '$TOK')) AS t
+       |  FROM documents WHERE length(text) >= 3
+       |), cls AS (
+       |  SELECT CASE WHEN t IN ('"','»','(','„') THEN 'opening_brackets'
+       |              WHEN t IN ('"','«',')','“','‘','''') THEN 'closing_brackets'
+       |              WHEN t <> '—' AND NOT regexp_matches(t, '[\\p{L}\\p{Nd}]') THEN 'punctuation'
+       |              ELSE 'words' END AS category, t
+       |  FROM toks
+       |), wnorm AS (
+       |  SELECT CASE WHEN regexp_matches(w, '^[0-9]') THEN repeat('1', length(w)) ELSE w END AS w
+       |  FROM (SELECT replace(replace(replace(replace(replace(replace(t,
+       |          'ä','aͤ'),'ö','oͤ'),'ü','uͤ'),'Ä','Aͤ'),'Ö','Oͤ'),'Ü','Uͤ') AS w
+       |        FROM cls WHERE category = 'words') z
+       |), wrows AS (
+       |  SELECT 'words' AS category, w AS token, CAST(1 AS BIGINT) AS freq FROM wnorm
+       |  UNION ALL
+       |  SELECT 'words' AS category,
+       |    CASE WHEN substr(w,1,1) <> lower(substr(w,1,1)) THEN lower(w)
+       |         ELSE upper(substr(w,1,1)) || lower(substr(w,2)) END AS token,
+       |    CAST(1 AS BIGINT) AS freq
+       |  FROM wnorm
+       |  WHERE (CASE WHEN substr(w,1,1) <> lower(substr(w,1,1)) THEN lower(w)
+       |              ELSE upper(substr(w,1,1)) || lower(substr(w,2)) END) <> w
+       |), brows AS (
+       |  SELECT category, t AS token, CAST(1 AS BIGINT) AS freq FROM cls WHERE category <> 'words'
+       |)""".stripMargin
+
+  val qLexiconCounts: String =
+    s"""$lexiconCtes
+       |SELECT category, token, sum(freq) AS freq
+       |FROM (SELECT * FROM wrows UNION ALL SELECT * FROM brows) allrows
+       |GROUP BY category, token ORDER BY category, token""".stripMargin
+
+  val qLexiconWeights: String =
+    s"""$lexiconCtes, wcounts AS (
+       |  SELECT token, sum(freq) AS freq FROM wrows GROUP BY token
+       |), tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM wcounts)
+       |SELECT token, round(-ln(freq / total), 6) AS weight
+       |FROM wcounts, tot
+       |WHERE NOT (freq <= 3 AND freq / total < 2e-6)
+       |ORDER BY token""".stripMargin
+
+  val qNgramTopk: String =
+    """SELECT gram, count(*) AS cnt FROM (
+      |  SELECT substr(text, CAST(i AS INTEGER), 3) AS gram
+      |  FROM documents, LATERAL (SELECT unnest(range(1, length(text)-1)) AS i) u
+      |  WHERE length(text) >= 3
+      |) t GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 50""".stripMargin
+
+  val qCerLev: String =
+    """WITH t AS (SELECT text, replace(replace(text, 'a', 'o'), 'r', 'n') AS ocr FROM documents)
+      |SELECT CAST(sum(levenshtein(ocr, text)) AS BIGINT) AS edits,
+      |       CAST(sum(length(text)) AS BIGINT) AS chars,
+      |       round(CAST(sum(levenshtein(ocr, text)) AS DOUBLE) / sum(length(text)), 6) AS cer
+      |FROM t""".stripMargin
+
+  val qDedupExact: String =
+    """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+      |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
+
+  val qDedupMinhash: String =
+    """WITH sh AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS sh
+      |  FROM documents, LATERAL (SELECT unnest(range(1, length(text)-6)) AS i) u
+      |  WHERE length(text) >= 8
+      |), sigs AS (
+      |  SELECT b.band AS band, doc_id, min(md5(sh || '#' || CAST(b.band AS VARCHAR))) AS sig
+      |  FROM sh, (SELECT unnest([0,1,2,3]) AS band) b
+      |  GROUP BY b.band, doc_id
+      |)
+      |SELECT band, sig, count(*) AS n, min(doc_id) AS keeper
+      |FROM sigs GROUP BY band, sig ORDER BY band, sig""".stripMargin
+
+  val qNgramJaccard: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(list_slice(string_split(text, ' '),
+      |      CAST(i AS INTEGER), CAST(i AS INTEGER) + 2), ' ') AS sh
+      |  FROM documents, LATERAL (SELECT unnest(range(1,
+      |    greatest(len(string_split(text, ' ')) - 2, 1) + 1)) AS i) u
+      |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |rare AS (
+      |  SELECT sh.doc_id, sh.sh FROM sh
+      |  JOIN (SELECT sh AS s2, count(*) AS df FROM sh GROUP BY sh
+      |        HAVING count(*) <= 20) d ON sh.sh = d.s2
+      |), pairs AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+      |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT ida, idb,
+      |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+      |FROM pairs JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+      |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.2
+      |ORDER BY ida, idb""".stripMargin
+
+  val qAnnCosine: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+      |    / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+      |       * sqrt(list_dot_product(qv, qv))), 4) AS cos
+      |FROM embeddings, q
+      |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  val qQuality: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_chars,
+      |  CAST(len(toks) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) AS INTEGER) AS n_stop,
+      |  round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+      |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  val qTokenCountRegex: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.BpeishRegex}')) AS INTEGER) AS n_bpeish
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val qFingerprint: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q_token_counts" -> qTokenCounts,
+    "q_lexicon_counts" -> qLexiconCounts,
+    "q_lexicon_weights" -> qLexiconWeights,
+    "q_ngram_topk" -> qNgramTopk,
+    "q_cer_lev" -> qCerLev,
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_ann_cosine" -> qAnnCosine,
+    "q_quality" -> qQuality,
+    "q_token_count_regex" -> qTokenCountRegex,
+    "q_fingerprint" -> qFingerprint)
+}

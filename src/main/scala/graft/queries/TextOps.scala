@@ -1,0 +1,98 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Deterministic text/vector primitives for the training-data-pipeline
+  * operators (dedup, similarity, language ID). Pure functions — run
+  * inside typed maps on executors. */
+object TextOps {
+
+  /** Word-or-number-or-punct token pattern (BPE-ish pre-tokenizer);
+    * identical literal in Java regex and RE2. */
+  final val BpeishRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  private def md5Bytes(s: String): Array[Byte] =
+    MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+
+  /** 64-bit SimHash over whitespace tokens: bit i of the hash votes
+    * +1/-1 weighted by token frequency. */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    text.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+      val h = md5Bytes(tok)
+      var i = 0
+      while (i < 64) {
+        val bit = (h(i / 8) >> (i % 8)) & 1
+        votes(i) += (if (bit == 1) 1 else -1)
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** 16-bit random-hyperplane LSH signature; hyperplane h's component
+    * for dimension d is +-1 from a hash of (h, d) — deterministic,
+    * seedless, no stored planes. */
+  def lshSignature(v: Array[Float]): Int = {
+    var sig = 0
+    var h = 0
+    while (h < 16) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) {
+        // splitmix-style bit mix of (h, d) -> sign
+        var x = (h.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        val sign = if (((x ^ (x >>> 31)) & 1L) == 0L) 1.0 else -1.0
+        dot += sign * v(d)
+        d += 1
+      }
+      if (dot > 0) sig |= (1 << h)
+      h += 1
+    }
+    sig
+  }
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Char-trigram-profile language ID over a tiny built-in profile set
+    * (n-gram heuristic; the reference corpus is German — 'de' profiles
+    * include the historic ſ/uͤ forms). */
+  private val profiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("ch ", "ein", "ich", "der", "die", "und", "sch", "en ", "cht",
+      "ſch", "daß", "uͤb"),
+    "en" -> Seq("the", " th", "ing", "and", "ion", " of", "ed ", "is "),
+    "fr" -> Seq("les", " de", "de ", "ent", "que", "une", "est", "é"),
+    "es" -> Seq(" de", "los", "ión", "que", "ado", "la ", "es "),
+    "nl" -> Seq("een", "het", "aar", "ij", "de "))
+
+  def langId(text: String): String = {
+    val t = text.toLowerCase
+    val scores = profiles.map { case (lang, grams) =>
+      lang -> grams.map { g =>
+        var c = 0; var idx = t.indexOf(g)
+        while (idx >= 0) { c += 1; idx = t.indexOf(g, idx + 1) }
+        c
+      }.sum
+    }
+    val best = scores.maxBy { case (l, c) => (c, l) } // deterministic tie-break
+    if (best._2 == 0) "unk" else best._1
+  }
+}
