@@ -1,24 +1,79 @@
 package graft
+
+import graft.correct.CompiledModel
+import graft.pipeline.{CorrectionJob, DocGen}
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: headline queries on SPARK_GRAFT_SF_DIR plus the
+  * flagship correction throughput (corrected text spans/sec — the
+  * BASELINE.json metric). Prints ONE JSON line. */
 object Bench {
+
+  /** Headline query subset (each also correctness-gated via Verify). */
+  val headline: Seq[String] = Seq(
+    "q_correct_docs", "q_token_counts", "q_lexicon_counts",
+    "q_confusion_counts", "q_ngram_topk", "q_cer_lev",
+    "q_dedup_exact", "q_dedup_minhash", "q_ngram_jaccard",
+    "q_ann_cosine", "q_quality", "q_fingerprint")
+
+  def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Flagship throughput: synthesized interleaved Doc table sized so the
+    * correction map dominates; returns (textSpans, seconds). */
+  def correctionThroughput(spark: SparkSession, model: CompiledModel,
+      nDocs: Long, partitions: Int): (Long, Double) = {
+    val docs = DocGen.docs(spark, nDocs, seed = 42L, partitions = partitions)
+    val bc = CorrectionJob.broadcastModel(spark, model)
+    val metrics = graft.pipeline.Metrics(spark)
+    val (_, sec) = time {
+      CorrectionJob.correctDocs(docs, bc, Some(metrics),
+        saltPartitions = Some(partitions))
+        .foreachPartition((it: Iterator[graft.pipeline.Doc]) =>
+          it.foreach(_ => ())) // drain: forces the lazy correction map
+    }
+    (metrics.textSpans.value, sec)
+  }
+
+  def fixtureModel(): CompiledModel = {
+    val pairs = DocGen.gtLines.zipWithIndex.map { case (gt, i) =>
+      (DocGen.perturb(gt, i.toLong), gt)
+    }
+    CompiledModel.train(pairs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val (_, sec) = time(fn(spark, sfDir).count())
+        name -> sec
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // flagship spans/sec (scaled to keep the bench under ~1 min)
+    val model = fixtureModel()
+    val nDocs = if (sfDir.endsWith("0.1")) 3000L else 600L
+    correctionThroughput(spark, model, 200L, cpus.toInt) // warmup
+    val (spans, corrSec) = correctionThroughput(spark, model, nDocs, cpus.toInt)
+
+    val qs = (results :+ ("flagship_correction" -> corrSec))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + corrSec
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"corrected_spans":$spans,"spans_per_sec":${spans / corrSec}%.1f}""")
     spark.stop()
   }
 }

@@ -64,6 +64,25 @@ object CompiledModel {
       pruningWeight, rejectionWeight, 2, wordsPerWindow)
 }
 
+/** Bounded LRU memo for per-window hypothesis sets. The correction is a
+  * pure function of (window string, model), and natural-language tokens
+  * are Zipf-distributed — one cache per partition/task turns the
+  * overwhelmingly common windows into O(1) lookups. Not thread-safe;
+  * use one instance per partition iterator. */
+final class WindowCache(maxEntries: Int = 50000) {
+  private val m = new java.util.LinkedHashMap[String, Seq[Alt]](1024, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Seq[Alt]]): Boolean = size() > maxEntries
+  }
+  var hits: Long = 0L
+  var misses: Long = 0L
+  def getOrCompute(key: String)(f: => Seq[Alt]): Seq[Alt] = {
+    val v = m.get(key)
+    if (v != null) { hits += 1; v }
+    else { misses += 1; val r = f; m.put(key, r); r }
+  }
+}
+
 /** The per-line correction dataflow, B1-B11 of SURVEY.md §2. Pure
   * functions — executed inside `mapPartitions` closures on executors. */
 object Corrector {
@@ -91,7 +110,15 @@ object Corrector {
     * processing; returns the lattice in graph form. Alternatives carry
     * determinization semantics: distinct strings, min weight (pynini
     * optimize()+paths(), SURVEY.md §2 row B9). */
-  def latticeFromString(line: String, model: CompiledModel): Lattice = {
+  def windowAlternatives(winStr: String, model: CompiledModel,
+      cache: WindowCache): Seq[Alt] = {
+    def compute = processWindow(winStr, model)
+      .distinctOutputs().map { case (s, w) => Alt(s, w) }
+    if (cache == null) compute else cache.getOrCompute(winStr)(compute)
+  }
+
+  def latticeFromString(line: String, model: CompiledModel,
+      cache: WindowCache = null): Lattice = {
     val tokens = Tokenizer.splitInputString(line)
     val n = tokens.length
     val edges = mutable.HashMap.empty[(Int, Int), Seq[Alt]]
@@ -100,8 +127,7 @@ object Corrector {
       var j = 1
       while (j <= math.min(model.maxWindowSize, n - i)) {
         val winStr = tokens.slice(i, i + j).mkString(" ")
-        val fst = processWindow(winStr, model)
-        val alts = fst.distinctOutputs().map { case (s, w) => Alt(s, w) }
+        val alts = windowAlternatives(winStr, model, cache)
         if (alts.nonEmpty) edges((i, i + j)) = alts
         j += 1
       }
@@ -150,9 +176,10 @@ object Corrector {
     * lattice -> shortest path. Empty/whitespace-only lines pass through
     * unchanged (the reference never sees them: its loaders skip empties,
     * lib/helper.py:41-55). */
-  def correctLine(line: String, model: CompiledModel): String = {
+  def correctLine(line: String, model: CompiledModel,
+      cache: WindowCache = null): String = {
     if (Tokenizer.splitInputString(line).isEmpty) return line
-    val lattice = latticeFromString(line, model)
+    val lattice = latticeFromString(line, model, cache)
     viterbi(lattice).getOrElse(line)
   }
 }

@@ -46,12 +46,13 @@ object CorrectionJob {
   def broadcastModel(spark: SparkSession, model: CompiledModel): Broadcast[CompiledModel] =
     spark.sparkContext.broadcast(model)
 
-  private def correctSpan(s: Span, m: CompiledModel, metrics: Option[Metrics]): Span =
+  private def correctSpan(s: Span, m: CompiledModel, metrics: Option[Metrics],
+      cache: graft.correct.WindowCache = null): Span =
     if (s.kind == "text") {
       metrics.foreach { mx =>
         mx.textSpans.add(1); mx.chars.add(s.text.length.toLong)
       }
-      val corrected = Corrector.correctLine(s.text, m)
+      val corrected = Corrector.correctLine(s.text, m, cache)
       if (corrected != s.text) metrics.foreach(_.spansChanged.add(1))
       Span(s.kind, corrected, s.media_ref, s.offset)
     } else {
@@ -72,9 +73,10 @@ object CorrectionJob {
     }
     input.mapPartitions { it =>
       val m = bc.value
+      val cache = new graft.correct.WindowCache()
       it.map { d =>
         metrics.foreach(_.docs.add(1))
-        Doc(d.doc_id, d.spans.map(correctSpan(_, m, metrics)))
+        Doc(d.doc_id, d.spans.map(correctSpan(_, m, metrics, cache)))
       }
     }
   }
@@ -98,7 +100,10 @@ object CorrectionJob {
       .repartition(col("_1"), col("_2"))
       .mapPartitions { it =>
         val m = bc.value
-        it.map { case (id, ci, g) => (id, ci, g.map(correctSpan(_, m, metrics))) }
+        val cache = new graft.correct.WindowCache()
+        it.map { case (id, ci, g) =>
+          (id, ci, g.map(correctSpan(_, m, metrics, cache)))
+        }
       }
     corrected.groupByKey(_._1).mapGroups { (id, it) =>
       metrics.foreach(_.docs.add(1))

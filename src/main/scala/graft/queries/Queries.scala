@@ -131,8 +131,9 @@ object Queries {
     pairsDf(s, dir).select($"ocr", $"gt").as[(String, String)]
       .mapPartitions { it =>
         val m = bc.value
+        val cache = new graft.correct.WindowCache()
         it.map { case (ocr, gt) =>
-          val cor = Corrector.correctLine(ocr, m)
+          val cor = Corrector.correctLine(ocr, m, cache)
           val (dOcr, lOcr) = Distance.adjustedDistance(ocr, gt)
           val (dCor, lCor) = Distance.adjustedDistance(cor, gt)
           val (tp, tn, fp, fn) = Distance.precisionRecall(ocr, cor, gt)
@@ -159,8 +160,9 @@ object Queries {
     pairsDf(s, dir).as[(Long, String, String)]
       .mapPartitions { it =>
         val m = bc.value
+        val cache = new graft.correct.WindowCache()
         it.map { case (id, ocr, gt) =>
-          val cor = Corrector.correctLine(ocr, m)
+          val cor = Corrector.correctLine(ocr, m, cache)
           (id, ocr, cor, gt, cor == gt)
         }
       }

@@ -96,6 +96,9 @@ final class Wfst(
     * on only one tape are preserved (they transduce). */
   def rmEpsilon: Wfst = {
     if (numStates == 0) return this
+    // fast path: nothing to remove
+    if (!arcs.exists(_.exists(a =>
+      a.ilabel == Label.Eps && a.olabel == Label.Eps))) return this
     val n = numStates
     // per-state eps-closure shortest distances (Dijkstra, weights >= 0)
     val out = Array.fill(n)(mutable.ArrayBuffer.empty[Arc])
@@ -139,74 +142,181 @@ final class Wfst(
   def connect: Wfst = {
     if (numStates == 0) return this
     val n = numStates
+    // forward reachability (array stack, no boxing)
     val fwd = new Array[Boolean](n)
-    var stack = List(start); fwd(start) = true
-    while (stack.nonEmpty) {
-      val u = stack.head; stack = stack.tail
-      for (a <- arcs(u)) if (!fwd(a.dst)) { fwd(a.dst) = true; stack ::= a.dst }
-    }
-    val rev = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
-    var u = 0
-    while (u < n) { for (a <- arcs(u)) rev(a.dst) += u; u += 1 }
-    val bwd = new Array[Boolean](n)
-    var st2 = finals.keysIterator.filter(fwd).toList
-    st2.foreach(bwd(_) = true)
-    while (st2.nonEmpty) {
-      val v = st2.head; st2 = st2.tail
-      for (p <- rev(v)) if (!bwd(p)) { bwd(p) = true; st2 ::= p }
-    }
-    val keep = (0 until n).filter(i => fwd(i) && bwd(i))
-    if (keep.isEmpty || !(fwd(start) && bwd(start)))
-      return Wfst.emptyFst
-    val remap = new Array[Int](n); java.util.Arrays.fill(remap, -1)
-    keep.zipWithIndex.foreach { case (old, nw) => remap(old) = nw }
-    val out = keep.map { old =>
-      arcs(old).collect { case a if remap(a.dst) >= 0 =>
-        Arc(a.ilabel, a.olabel, a.weight, remap(a.dst))
+    val stack = new Array[Int](n)
+    var sp = 0
+    fwd(start) = true; stack(sp) = start; sp += 1
+    while (sp > 0) {
+      sp -= 1; val u = stack(sp)
+      val as = arcs(u)
+      var i = 0
+      while (i < as.length) {
+        val d = as(i).dst
+        if (!fwd(d)) { fwd(d) = true; stack(sp) = d; sp += 1 }
+        i += 1
       }
-    }.toArray
+    }
+    // backward reachability over a CSR-style reverse adjacency
+    val revCnt = new Array[Int](n)
+    var u = 0
+    while (u < n) {
+      val as = arcs(u); var i = 0
+      while (i < as.length) { revCnt(as(i).dst) += 1; i += 1 }
+      u += 1
+    }
+    val revOff = new Array[Int](n + 1)
+    u = 0
+    while (u < n) { revOff(u + 1) = revOff(u) + revCnt(u); u += 1 }
+    val revSrc = new Array[Int](revOff(n))
+    val fill = revOff.clone()
+    u = 0
+    while (u < n) {
+      val as = arcs(u); var i = 0
+      while (i < as.length) {
+        val d = as(i).dst; revSrc(fill(d)) = u; fill(d) += 1; i += 1
+      }
+      u += 1
+    }
+    val bwd = new Array[Boolean](n)
+    sp = 0
+    finals.keysIterator.foreach { f =>
+      if (fwd(f) && !bwd(f)) { bwd(f) = true; stack(sp) = f; sp += 1 }
+    }
+    while (sp > 0) {
+      sp -= 1; val v = stack(sp)
+      var i = revOff(v)
+      while (i < revOff(v + 1)) {
+        val p = revSrc(i)
+        if (!bwd(p)) { bwd(p) = true; stack(sp) = p; sp += 1 }
+        i += 1
+      }
+    }
+    if (!(fwd(start) && bwd(start))) return Wfst.emptyFst
+    val remap = new Array[Int](n)
+    var kept = 0
+    u = 0
+    while (u < n) {
+      if (fwd(u) && bwd(u)) { remap(u) = kept; kept += 1 } else remap(u) = -1
+      u += 1
+    }
+    if (kept == n) return this // already trim
+    val out = new Array[Array[Arc]](kept)
+    u = 0
+    while (u < n) {
+      if (remap(u) >= 0) {
+        val as = arcs(u)
+        val buf = new mutable.ArrayBuffer[Arc](as.length)
+        var i = 0
+        while (i < as.length) {
+          val a = as(i)
+          if (remap(a.dst) >= 0)
+            buf += Arc(a.ilabel, a.olabel, a.weight, remap(a.dst))
+          i += 1
+        }
+        out(remap(u)) = buf.toArray
+      }
+      u += 1
+    }
     val fin = finals.collect { case (s, w) if remap(s) >= 0 => (remap(s), w) }
     new Wfst(remap(start), fin, out)
   }
 
-  /** Shortest distance from start to every state (tropical; Dijkstra —
-    * all weights are -ln(p) >= 0 in this pipeline). */
-  def shortestDistances: Array[Double] = {
+  /** Topological order if acyclic (Kahn), else None. The per-window
+    * machines of the correction cascade are all DAGs — distance
+    * computations use linear DP there and fall back to Dijkstra on
+    * cyclic machines (e.g. compiled error models with sigma loops). */
+  def topoOrder: Option[Array[Int]] = {
+    val n = numStates
+    val indeg = new Array[Int](n)
+    var u = 0
+    while (u < n) { for (a <- arcs(u)) indeg(a.dst) += 1; u += 1 }
+    val order = new Array[Int](n)
+    var head = 0; var tail = 0
+    u = 0
+    while (u < n) { if (indeg(u) == 0) { order(tail) = u; tail += 1 }; u += 1 }
+    while (head < tail) {
+      val v = order(head); head += 1
+      for (a <- arcs(v)) {
+        indeg(a.dst) -= 1
+        if (indeg(a.dst) == 0) { order(tail) = a.dst; tail += 1 }
+      }
+    }
+    if (tail == n) Some(order) else None
+  }
+
+  /** Shortest distance from start to every state (tropical; topo DP on
+    * DAGs, Dijkstra otherwise — all weights are -ln(p) >= 0 here). */
+  def shortestDistances: Array[Double] = shortestDistances(topoOrder)
+
+  private def shortestDistances(topo: Option[Array[Int]]): Array[Double] = {
     val dist = Array.fill(numStates)(Double.PositiveInfinity)
     if (numStates == 0) return dist
     dist(start) = 0.0
-    val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
-    pq.enqueue((0.0, start))
-    while (pq.nonEmpty) {
-      val (d, u) = pq.dequeue()
-      if (d <= dist(u) + 1e-15) {
-        for (a <- arcs(u)) {
-          val nd = d + a.weight
-          if (nd < dist(a.dst) - 1e-15) { dist(a.dst) = nd; pq.enqueue((nd, a.dst)) }
+    topo match {
+      case Some(order) =>
+        var i = 0
+        while (i < order.length) {
+          val u = order(i)
+          val d = dist(u)
+          if (!d.isInfinity) {
+            for (a <- arcs(u)) {
+              val nd = d + a.weight
+              if (nd < dist(a.dst)) dist(a.dst) = nd
+            }
+          }
+          i += 1
         }
-      }
+      case None =>
+        val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
+        pq.enqueue((0.0, start))
+        while (pq.nonEmpty) {
+          val (d, u) = pq.dequeue()
+          if (d <= dist(u) + 1e-15) {
+            for (a <- arcs(u)) {
+              val nd = d + a.weight
+              if (nd < dist(a.dst) - 1e-15) { dist(a.dst) = nd; pq.enqueue((nd, a.dst)) }
+            }
+          }
+        }
     }
     dist
   }
 
   /** Shortest distance from every state to a final (incl. final weight). */
-  def reverseDistances: Array[Double] = {
+  def reverseDistances: Array[Double] = reverseDistances(topoOrder)
+
+  private def reverseDistances(topo: Option[Array[Int]]): Array[Double] = {
     val n = numStates
     val dist = Array.fill(n)(Double.PositiveInfinity)
     if (n == 0) return dist
-    val rev = Array.fill(n)(mutable.ArrayBuffer.empty[(Int, Double)])
-    var u = 0
-    while (u < n) { for (a <- arcs(u)) rev(a.dst) += ((u, a.weight)); u += 1 }
-    val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
-    finals.foreach { case (s, w) => dist(s) = w; pq.enqueue((w, s)) }
-    while (pq.nonEmpty) {
-      val (d, v) = pq.dequeue()
-      if (d <= dist(v) + 1e-15) {
-        for ((p, w) <- rev(v)) {
-          val nd = d + w
-          if (nd < dist(p) - 1e-15) { dist(p) = nd; pq.enqueue((nd, p)) }
+    finals.foreach { case (s, w) => dist(s) = w }
+    topo match {
+      case Some(order) =>
+        var i = order.length - 1
+        while (i >= 0) {
+          val u = order(i)
+          for (a <- arcs(u)) {
+            val nd = a.weight + dist(a.dst)
+            if (nd < dist(u)) dist(u) = nd
+          }
+          i -= 1
         }
-      }
+      case None =>
+        val rev = Array.fill(n)(mutable.ArrayBuffer.empty[(Int, Double)])
+        var u = 0
+        while (u < n) { for (a <- arcs(u)) rev(a.dst) += ((u, a.weight)); u += 1 }
+        val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
+        finals.foreach { case (s, w) => pq.enqueue((w, s)) }
+        while (pq.nonEmpty) {
+          val (d, v) = pq.dequeue()
+          if (d <= dist(v) + 1e-15) {
+            for ((p, w) <- rev(v)) {
+              val nd = d + w
+              if (nd < dist(p) - 1e-15) { dist(p) = nd; pq.enqueue((nd, p)) }
+            }
+          }
+        }
     }
     dist
   }
@@ -216,8 +326,9 @@ final class Wfst(
     */
   def prune(th: Double): Wfst = {
     if (numStates == 0) return this
-    val fwd = shortestDistances
-    val bwd = reverseDistances
+    val topo = topoOrder
+    val fwd = shortestDistances(topo)
+    val bwd = reverseDistances(topo)
     val best = bwd(start) // = min over finals of fwd + final weight
     if (best.isInfinity) return Wfst.emptyFst
     val lim = best + th + 1e-9
@@ -249,16 +360,19 @@ final class Wfst(
     */
   def compose(that: Wfst): Wfst = {
     if (this.numStates == 0 || that.numStates == 0) return Wfst.emptyFst
-    val stateIds = mutable.HashMap.empty[Long, Int]
+    val stateIds = new LongIntMap(64)
     val statePairs = mutable.ArrayBuffer.empty[Long]
     val out = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Arc]]
-    def key(p: Int, q: Int): Long = p.toLong << 32 | (q.toLong & 0xffffffffL)
     def id(p: Int, q: Int): Int = {
-      val k = key(p, q)
-      stateIds.getOrElseUpdate(k, {
-        statePairs += k; out += mutable.ArrayBuffer.empty[Arc]
-        statePairs.length - 1
-      })
+      val k = p.toLong << 32 | (q.toLong & 0xffffffffL)
+      val existing = stateIds.getOrElse(k, -1)
+      if (existing >= 0) existing
+      else {
+        statePairs += k; out += new mutable.ArrayBuffer[Arc](4)
+        val nid = statePairs.length - 1
+        stateIds.put(k, nid)
+        nid
+      }
     }
     val s0 = id(this.start, that.start)
     var head = 0
