@@ -186,16 +186,21 @@ object Queries {
     * md5 (identical in Spark and DuckDB). */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // single scan + single shuffle: all 4 band mins in one hash agg,
+    // then stack to long form (vs 4x explode+groupBy — 4 shuffles)
     val sh = docsDf(s, dir).where(length($"text") >= 8)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, length(text)-7), i -> substring(text, i, 8))"))
         .as("sh"))
-    val bands = (0 until 4).map { b =>
-      sh.groupBy($"doc_id")
-        .agg(min(md5(concat($"sh", lit(s"#$b")))).as("sig"))
-        .select(lit(b).as("band"), $"sig", $"doc_id")
-    }.reduce(_ unionByName _)
-    bands.groupBy($"band", $"sig")
+    val sigs = sh.groupBy($"doc_id").agg(
+      min(md5(concat($"sh", lit("#0")))).as("s0"),
+      min(md5(concat($"sh", lit("#1")))).as("s1"),
+      min(md5(concat($"sh", lit("#2")))).as("s2"),
+      min(md5(concat($"sh", lit("#3")))).as("s3"))
+    sigs.select($"doc_id",
+        expr("stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (band, sig)"))
+      .select($"doc_id", $"band", $"sig")
+      .groupBy($"band", $"sig")
       .agg(count(lit(1)).as("n"), min($"doc_id").as("keeper"))
       .orderBy($"band", $"sig")
   }
