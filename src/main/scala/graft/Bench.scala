@@ -25,8 +25,11 @@ object Bench {
   /** Flagship throughput: synthesized interleaved Doc table sized so the
     * correction map dominates; returns (textSpans, seconds). */
   def correctionThroughput(spark: SparkSession, model: CompiledModel,
-      nDocs: Long, partitions: Int): (Long, Double) = {
-    val docs = DocGen.docs(spark, nDocs, seed = 42L, partitions = partitions)
+      nDocs: Long, cpus: Int, seed: Long = 42L): (Long, Double) = {
+    // 4 task waves per core: straggler/skew smoothing (a single wave of
+    // exactly-`cpus` tasks is gated by its slowest task)
+    val partitions = cpus * 4
+    val docs = DocGen.docs(spark, nDocs, seed = seed, partitions = partitions)
     val bc = CorrectionJob.broadcastModel(spark, model)
     val metrics = graft.pipeline.Metrics(spark)
     val (_, sec) = time {

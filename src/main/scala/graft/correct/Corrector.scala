@@ -64,12 +64,16 @@ object CompiledModel {
       pruningWeight, rejectionWeight, 2, wordsPerWindow)
 }
 
-/** Bounded LRU memo for per-window hypothesis sets. The correction is a
-  * pure function of (window string, model), and natural-language tokens
-  * are Zipf-distributed — one cache per partition/task turns the
-  * overwhelmingly common windows into O(1) lookups. Not thread-safe;
-  * use one instance per partition iterator. */
-final class WindowCache(maxEntries: Int = 50000) {
+/** Memo for per-window hypothesis sets: the correction is a pure
+  * function of (window string, model) and natural-language tokens are
+  * Zipf-distributed, so the overwhelmingly common windows become O(1)
+  * lookups. */
+trait AltCache {
+  def getOrCompute(key: String)(f: => Seq[Alt]): Seq[Alt]
+}
+
+/** Single-threaded bounded LRU (one instance per partition iterator). */
+final class WindowCache(maxEntries: Int = 50000) extends AltCache {
   private val m = new java.util.LinkedHashMap[String, Seq[Alt]](1024, 0.75f, true) {
     override def removeEldestEntry(
         e: java.util.Map.Entry[String, Seq[Alt]]): Boolean = size() > maxEntries
@@ -80,6 +84,39 @@ final class WindowCache(maxEntries: Int = 50000) {
     val v = m.get(key)
     if (v != null) { hits += 1; v }
     else { misses += 1; val r = f; m.put(key, r); r }
+  }
+}
+
+/** JVM-wide (= per-executor) thread-safe memo, shared across all tasks
+  * and waves — the true analogue of the reference's COW fork-pool model
+  * sharing (scripts/process.py:14,55-70): pay each distinct window once
+  * per executor, not once per task. Keyed weakly by model instance
+  * (broadcast values are one instance per executor JVM), so dropping
+  * the broadcast frees the memo. Insertion stops at `maxEntries`
+  * (lock-free reads keep serving the hot head of the Zipf curve). */
+object SharedWindowCache {
+  import java.util.concurrent.ConcurrentHashMap
+  private val perModel = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[CompiledModel, ConcurrentHashMap[String, Seq[Alt]]]())
+  private val MaxEntries = 2000000
+
+  def forModel(m: CompiledModel): AltCache = {
+    val chm = perModel.synchronized {
+      var v = perModel.get(m)
+      if (v == null) { v = new ConcurrentHashMap[String, Seq[Alt]](1 << 16); perModel.put(m, v) }
+      v
+    }
+    new AltCache {
+      def getOrCompute(key: String)(f: => Seq[Alt]): Seq[Alt] = {
+        val v = chm.get(key)
+        if (v != null) v
+        else {
+          val r = f
+          if (chm.size() < MaxEntries) chm.put(key, r)
+          r
+        }
+      }
+    }
   }
 }
 
@@ -111,14 +148,14 @@ object Corrector {
     * determinization semantics: distinct strings, min weight (pynini
     * optimize()+paths(), SURVEY.md §2 row B9). */
   def windowAlternatives(winStr: String, model: CompiledModel,
-      cache: WindowCache): Seq[Alt] = {
+      cache: AltCache): Seq[Alt] = {
     def compute = processWindow(winStr, model)
       .distinctOutputs().map { case (s, w) => Alt(s, w) }
     if (cache == null) compute else cache.getOrCompute(winStr)(compute)
   }
 
   def latticeFromString(line: String, model: CompiledModel,
-      cache: WindowCache = null): Lattice = {
+      cache: AltCache = null): Lattice = {
     val tokens = Tokenizer.splitInputString(line)
     val n = tokens.length
     val edges = mutable.HashMap.empty[(Int, Int), Seq[Alt]]
@@ -177,7 +214,7 @@ object Corrector {
     * unchanged (the reference never sees them: its loaders skip empties,
     * lib/helper.py:41-55). */
   def correctLine(line: String, model: CompiledModel,
-      cache: WindowCache = null): String = {
+      cache: AltCache = null): String = {
     if (Tokenizer.splitInputString(line).isEmpty) return line
     val lattice = latticeFromString(line, model, cache)
     viterbi(lattice).getOrElse(line)

@@ -47,7 +47,7 @@ object CorrectionJob {
     spark.sparkContext.broadcast(model)
 
   private def correctSpan(s: Span, m: CompiledModel, metrics: Option[Metrics],
-      cache: graft.correct.WindowCache = null): Span =
+      cache: graft.correct.AltCache = null): Span =
     if (s.kind == "text") {
       metrics.foreach { mx =>
         mx.textSpans.add(1); mx.chars.add(s.text.length.toLong)
@@ -73,7 +73,7 @@ object CorrectionJob {
     }
     input.mapPartitions { it =>
       val m = bc.value
-      val cache = new graft.correct.WindowCache()
+      val cache = graft.correct.SharedWindowCache.forModel(m)
       it.map { d =>
         metrics.foreach(_.docs.add(1))
         Doc(d.doc_id, d.spans.map(correctSpan(_, m, metrics, cache)))
@@ -100,7 +100,7 @@ object CorrectionJob {
       .repartition(col("_1"), col("_2"))
       .mapPartitions { it =>
         val m = bc.value
-        val cache = new graft.correct.WindowCache()
+        val cache = graft.correct.SharedWindowCache.forModel(m)
         it.map { case (id, ci, g) =>
           (id, ci, g.map(correctSpan(_, m, metrics, cache)))
         }

@@ -43,7 +43,10 @@ object DocGen {
     x ^ (x >>> 31)
   }
 
-  /** Perturb a GT line into an OCR-looking line, deterministically. */
+  /** Perturb a GT line into an OCR-looking line, deterministically.
+    * Besides the classic confusions, injects char-level noise at random
+    * positions — this models the unbounded novel-token tail of a
+    * web-scale corpus (cache-adversarial: most windows are distinct). */
   def perturb(line: String, seed: Long): String = {
     var s = line
     var r = mix(seed)
@@ -55,6 +58,17 @@ object DocGen {
       val idx = s.indexOf(from)
       if (idx >= 0) s = s.substring(0, idx) + to + s.substring(idx + from.length)
       k += 1
+    }
+    // novel-token noise: ~75% of lines get 1-2 random char substitutions
+    var noise = (((r >>> 9) % 4) + 4) % 4 // 0..3
+    while (noise > 1 && s.nonEmpty) {
+      r = mix(r)
+      val pos = (((r >>> 17) % s.length).toInt + s.length) % s.length
+      if (!Character.isWhitespace(s.charAt(pos))) {
+        val c = ('a' + (((r >>> 37) % 26).toInt + 26) % 26).toChar
+        s = s.substring(0, pos) + c + s.substring(pos + 1)
+      }
+      noise -= 1
     }
     s
   }

@@ -131,7 +131,7 @@ object Queries {
     pairsDf(s, dir).select($"ocr", $"gt").as[(String, String)]
       .mapPartitions { it =>
         val m = bc.value
-        val cache = new graft.correct.WindowCache()
+        val cache = graft.correct.SharedWindowCache.forModel(m)
         it.map { case (ocr, gt) =>
           val cor = Corrector.correctLine(ocr, m, cache)
           val (dOcr, lOcr) = Distance.adjustedDistance(ocr, gt)
@@ -160,7 +160,7 @@ object Queries {
     pairsDf(s, dir).as[(Long, String, String)]
       .mapPartitions { it =>
         val m = bc.value
-        val cache = new graft.correct.WindowCache()
+        val cache = graft.correct.SharedWindowCache.forModel(m)
         it.map { case (id, ocr, gt) =>
           val cor = Corrector.correctLine(ocr, m, cache)
           (id, ocr, cor, gt, cor == gt)

@@ -13,55 +13,108 @@ object Label {
   final val Sigma = -1
 }
 
-/** One transition: input label, output label, tropical weight, target. */
+/** One transition (object view; the machine stores arcs in CSR primitive
+  * arrays — this class exists for construction and tests). */
 final case class Arc(ilabel: Int, olabel: Int, weight: Double, dst: Int)
+
+/** Growable primitive arc store used by all builders. */
+private[wfst] final class ArcSink(cap0: Int = 64) {
+  var il = new Array[Int](cap0)
+  var ol = new Array[Int](cap0)
+  var wt = new Array[Double](cap0)
+  var ds = new Array[Int](cap0)
+  var n = 0
+  def add(i: Int, o: Int, w: Double, d: Int): Unit = {
+    if (n == il.length) {
+      val c = n << 1
+      il = java.util.Arrays.copyOf(il, c); ol = java.util.Arrays.copyOf(ol, c)
+      wt = java.util.Arrays.copyOf(wt, c); ds = java.util.Arrays.copyOf(ds, c)
+    }
+    il(n) = i; ol(n) = o; wt(n) = w; ds(n) = d; n += 1
+  }
+}
 
 /** Immutable weighted finite-state transducer over the tropical semiring
   * (plus = min, times = +), the semiring of the reference's OpenFst
   * models (weights are -ln(relative_frequency), lib/helper.py:135).
   *
-  * This is a from-scratch pure-Scala library (no Spark deps) compiled on
-  * the driver and broadcast to executors; per-line FST work happens
-  * inside `mapPartitions` closures (SURVEY.md §1 row 1.7).
+  * Storage is CSR (compressed sparse row): per-state arc ranges
+  * [off(s), off(s+1)) over four parallel primitive arrays. This keeps the
+  * per-window cascade cache-friendly and allocation-light — the engine
+  * runs 32+ threads per executor and the pointer-chasing object layout
+  * was measured to halve per-thread throughput beyond 8 threads.
+  *
+  * From-scratch pure-Scala library (no Spark deps) compiled on the
+  * driver and broadcast; per-line work happens inside `mapPartitions`
+  * closures (SURVEY.md §1 row 1.7).
   */
-final class Wfst(
+final class Wfst private (
     val start: Int,
-    val finals: Map[Int, Double],
-    val arcs: Array[Array[Arc]]
+    val numStates: Int,
+    val off: Array[Int],      // length numStates+1
+    val il: Array[Int],
+    val ol: Array[Int],
+    val wt: Array[Double],
+    val ds: Array[Int],
+    val finState: Array[Int], // ascending
+    val finWt: Array[Double]
 ) extends Serializable {
 
-  def numStates: Int = arcs.length
-  def numArcs: Int = arcs.iterator.map(_.length).sum
-  def isEmptyLanguage: Boolean = finals.isEmpty || numStates == 0
+  def numArcs: Int = off(numStates)
+  def isEmptyLanguage: Boolean = finState.isEmpty || numStates == 0
+
+  def finalWeight(s: Int): Double = {
+    val i = java.util.Arrays.binarySearch(finState, s)
+    if (i >= 0) finWt(i) else Double.PositiveInfinity
+  }
+  def isFinal(s: Int): Boolean =
+    java.util.Arrays.binarySearch(finState, s) >= 0
+
+  /** Compatibility views (tests, debugging; not on the hot path). */
+  def finals: Map[Int, Double] =
+    finState.indices.map(i => finState(i) -> finWt(i)).toMap
+  def arcs: Array[Array[Arc]] =
+    Array.tabulate(numStates) { s =>
+      (off(s) until off(s + 1)).map(a => Arc(il(a), ol(a), wt(a), ds(a))).toArray
+    }
 
   // ---------------------------------------------------------------- rational ops
 
   /** Union (pynini `union`): new start with eps arcs to both operands. */
   def union(that: Wfst): Wfst = {
-    val off1 = 1
-    val off2 = 1 + this.numStates
-    val n = 1 + this.numStates + that.numStates
-    val out = Array.fill(n)(mutable.ArrayBuffer.empty[Arc])
-    out(0) += Arc(Label.Eps, Label.Eps, 0.0, off1 + this.start)
-    out(0) += Arc(Label.Eps, Label.Eps, 0.0, off2 + that.start)
-    copyInto(this, off1, out); copyInto(that, off2, out)
-    val fin = this.finals.map { case (s, w) => (s + off1, w) } ++
-      that.finals.map { case (s, w) => (s + off2, w) }
-    new Wfst(0, fin, out.map(_.toArray))
+    val b = new WfstBuilder(1 + this.numStates + that.numStates)
+    b.addArc(0, Label.Eps, Label.Eps, 0.0, 1 + this.start)
+    b.addArc(0, Label.Eps, Label.Eps, 0.0, 1 + this.numStates + that.start)
+    b.copyMachine(this, 1)
+    b.copyMachine(that, 1 + this.numStates)
+    var i = 0
+    while (i < this.finState.length) {
+      b.setFinal(this.finState(i) + 1, this.finWt(i)); i += 1
+    }
+    i = 0
+    while (i < that.finState.length) {
+      b.setFinal(that.finState(i) + 1 + this.numStates, that.finWt(i)); i += 1
+    }
+    b.result(0)
   }
 
   /** Concatenation: eps arcs from this's finals (carrying the final
     * weight) to that's start. */
   def concat(that: Wfst): Wfst = {
-    val off = this.numStates
-    val n = this.numStates + that.numStates
-    val out = Array.fill(n)(mutable.ArrayBuffer.empty[Arc])
-    copyInto(this, 0, out); copyInto(that, off, out)
-    this.finals.foreach { case (s, w) =>
-      out(s) += Arc(Label.Eps, Label.Eps, w, off + that.start)
+    val o = this.numStates
+    val b = new WfstBuilder(o + that.numStates)
+    b.copyMachine(this, 0)
+    b.copyMachine(that, o)
+    var i = 0
+    while (i < this.finState.length) {
+      b.addArc(this.finState(i), Label.Eps, Label.Eps, this.finWt(i), o + that.start)
+      i += 1
     }
-    val fin = that.finals.map { case (s, w) => (s + off, w) }
-    new Wfst(this.start, fin, out.map(_.toArray))
+    i = 0
+    while (i < that.finState.length) {
+      b.setFinal(that.finState(i) + o, that.finWt(i)); i += 1
+    }
+    b.result(this.start)
   }
 
   /** 0-or-1 repetition (pynini `.ques`, lib/lexicon.py:179-184). */
@@ -81,13 +134,11 @@ final class Wfst(
   /** Copy output labels onto the input tape (pynini
     * `project(project_output=True)`, lib/latticegen.py:49). */
   def projectOutput: Wfst =
-    new Wfst(start, finals,
-      arcs.map(_.map(a => Arc(a.olabel, a.olabel, a.weight, a.dst))))
+    new Wfst(start, numStates, off, ol, ol, wt, ds, finState, finWt)
 
   /** Swap tapes (pynini `invert`, lib/error_st.py:276). */
   def invert: Wfst =
-    new Wfst(start, finals,
-      arcs.map(_.map(a => Arc(a.olabel, a.ilabel, a.weight, a.dst))))
+    new Wfst(start, numStates, off, ol, il, wt, ds, finState, finWt)
 
   // ---------------------------------------------------------------- cleanup ops
 
@@ -96,45 +147,69 @@ final class Wfst(
     * on only one tape are preserved (they transduce). */
   def rmEpsilon: Wfst = {
     if (numStates == 0) return this
-    // fast path: nothing to remove
-    if (!arcs.exists(_.exists(a =>
-      a.ilabel == Label.Eps && a.olabel == Label.Eps))) return this
     val n = numStates
-    // per-state eps-closure shortest distances (Dijkstra, weights >= 0)
-    val out = Array.fill(n)(mutable.ArrayBuffer.empty[Arc])
-    val fin = mutable.HashMap.empty[Int, Double]
-    finals.foreach { case (s, w) => fin(s) = w }
+    // states with eps:eps out-arcs
+    var anyEps = false
+    var a = 0
+    val total = numArcs
+    while (a < total && !anyEps) {
+      if (il(a) == Label.Eps && ol(a) == Label.Eps) anyEps = true
+      a += 1
+    }
+    if (!anyEps) return this
+    val b = new WfstBuilder(n)
+    val finW = Array.fill(n)(Double.PositiveInfinity)
+    var i = 0
+    while (i < finState.length) { finW(finState(i)) = finWt(i); i += 1 }
+    val dist = new Array[Double](n)
+    val seen = new Array[Int](n) // stamp per source state
+    java.util.Arrays.fill(seen, -1)
+    val members = new IntList(16)
+    val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
     var s = 0
     while (s < n) {
-      val dist = mutable.HashMap.empty[Int, Double]
-      val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
-      dist(s) = 0.0; pq.enqueue((0.0, s))
+      // eps-closure from s (Dijkstra over eps:eps arcs; weights >= 0)
+      pq.clear(); members.n = 0
+      dist(s) = 0.0; seen(s) = s; members.add(s)
+      pq.enqueue((0.0, s))
+      var newFin = Double.PositiveInfinity
       while (pq.nonEmpty) {
         val (d, u) = pq.dequeue()
-        if (d <= dist(u) + 1e-15) {
-          for (a <- arcs(u)) {
-            if (a.ilabel == Label.Eps && a.olabel == Label.Eps) {
-              val nd = d + a.weight
-              if (nd < dist.getOrElse(a.dst, Double.PositiveInfinity) - 1e-15) {
-                dist(a.dst) = nd; pq.enqueue((nd, a.dst))
+        if (seen(u) == s && d <= dist(u) + 1e-15) {
+          if (finW(u) != Double.PositiveInfinity && d + finW(u) < newFin)
+            newFin = d + finW(u)
+          var k = off(u)
+          while (k < off(u + 1)) {
+            if (il(k) == Label.Eps && ol(k) == Label.Eps) {
+              val nd = d + wt(k)
+              val t = ds(k)
+              if (seen(t) != s) {
+                seen(t) = s; dist(t) = nd; members.add(t); pq.enqueue((nd, t))
+              } else if (nd < dist(t) - 1e-15) {
+                dist(t) = nd; pq.enqueue((nd, t))
               }
             }
+            k += 1
           }
         }
       }
-      dist.foreach { case (t, d) =>
-        for (a <- arcs(t)) {
-          if (!(a.ilabel == Label.Eps && a.olabel == Label.Eps))
-            out(s) += Arc(a.ilabel, a.olabel, d + a.weight, a.dst)
+      // emit non-eps arcs of every closure member, weighted by distance
+      var mi = 0
+      while (mi < members.n) {
+        val t = members.a(mi)
+        val d = dist(t)
+        var k = off(t)
+        while (k < off(t + 1)) {
+          if (!(il(k) == Label.Eps && ol(k) == Label.Eps))
+            b.addArc(s, il(k), ol(k), d + wt(k), ds(k))
+          k += 1
         }
-        finals.get(t).foreach { wf =>
-          val cand = d + wf
-          if (cand < fin.getOrElse(s, Double.PositiveInfinity)) fin(s) = cand
-        }
+        mi += 1
       }
+      if (newFin != Double.PositiveInfinity) b.setFinal(s, newFin)
       s += 1
     }
-    new Wfst(start, fin.toMap, out.map(_.toArray)).connect
+    b.result(start).connect
   }
 
   /** Trim states not reachable from start or not co-reachable to a final
@@ -142,54 +217,50 @@ final class Wfst(
   def connect: Wfst = {
     if (numStates == 0) return this
     val n = numStates
-    // forward reachability (array stack, no boxing)
     val fwd = new Array[Boolean](n)
     val stack = new Array[Int](n)
     var sp = 0
     fwd(start) = true; stack(sp) = start; sp += 1
     while (sp > 0) {
       sp -= 1; val u = stack(sp)
-      val as = arcs(u)
-      var i = 0
-      while (i < as.length) {
-        val d = as(i).dst
+      var k = off(u)
+      while (k < off(u + 1)) {
+        val d = ds(k)
         if (!fwd(d)) { fwd(d) = true; stack(sp) = d; sp += 1 }
-        i += 1
+        k += 1
       }
     }
-    // backward reachability over a CSR-style reverse adjacency
+    // reverse CSR
     val revCnt = new Array[Int](n)
-    var u = 0
-    while (u < n) {
-      val as = arcs(u); var i = 0
-      while (i < as.length) { revCnt(as(i).dst) += 1; i += 1 }
-      u += 1
-    }
+    var k = 0
+    val total = numArcs
+    while (k < total) { revCnt(ds(k)) += 1; k += 1 }
     val revOff = new Array[Int](n + 1)
-    u = 0
+    var u = 0
     while (u < n) { revOff(u + 1) = revOff(u) + revCnt(u); u += 1 }
-    val revSrc = new Array[Int](revOff(n))
+    val revSrc = new Array[Int](total)
     val fill = revOff.clone()
     u = 0
     while (u < n) {
-      val as = arcs(u); var i = 0
-      while (i < as.length) {
-        val d = as(i).dst; revSrc(fill(d)) = u; fill(d) += 1; i += 1
-      }
+      k = off(u)
+      while (k < off(u + 1)) { revSrc(fill(ds(k))) = u; fill(ds(k)) += 1; k += 1 }
       u += 1
     }
     val bwd = new Array[Boolean](n)
     sp = 0
-    finals.keysIterator.foreach { f =>
+    var i = 0
+    while (i < finState.length) {
+      val f = finState(i)
       if (fwd(f) && !bwd(f)) { bwd(f) = true; stack(sp) = f; sp += 1 }
+      i += 1
     }
     while (sp > 0) {
       sp -= 1; val v = stack(sp)
-      var i = revOff(v)
-      while (i < revOff(v + 1)) {
-        val p = revSrc(i)
+      var r = revOff(v)
+      while (r < revOff(v + 1)) {
+        val p = revSrc(r)
         if (!bwd(p)) { bwd(p) = true; stack(sp) = p; sp += 1 }
-        i += 1
+        r += 1
       }
     }
     if (!(fwd(start) && bwd(start))) return Wfst.emptyFst
@@ -200,144 +271,242 @@ final class Wfst(
       if (fwd(u) && bwd(u)) { remap(u) = kept; kept += 1 } else remap(u) = -1
       u += 1
     }
-    if (kept == n) return this // already trim
-    val out = new Array[Array[Arc]](kept)
+    if (kept == n) return this
+    // rebuild CSR directly
+    val nOff = new Array[Int](kept + 1)
     u = 0
     while (u < n) {
       if (remap(u) >= 0) {
-        val as = arcs(u)
-        val buf = new mutable.ArrayBuffer[Arc](as.length)
-        var i = 0
-        while (i < as.length) {
-          val a = as(i)
-          if (remap(a.dst) >= 0)
-            buf += Arc(a.ilabel, a.olabel, a.weight, remap(a.dst))
-          i += 1
-        }
-        out(remap(u)) = buf.toArray
+        var c = 0
+        k = off(u)
+        while (k < off(u + 1)) { if (remap(ds(k)) >= 0) c += 1; k += 1 }
+        nOff(remap(u) + 1) = c
       }
       u += 1
     }
-    val fin = finals.collect { case (s, w) if remap(s) >= 0 => (remap(s), w) }
-    new Wfst(remap(start), fin, out)
+    var t = 0
+    while (t < kept) { nOff(t + 1) += nOff(t); t += 1 }
+    val m = nOff(kept)
+    val nIl = new Array[Int](m); val nOl = new Array[Int](m)
+    val nWt = new Array[Double](m); val nDs = new Array[Int](m)
+    u = 0
+    while (u < n) {
+      if (remap(u) >= 0) {
+        var p = nOff(remap(u))
+        k = off(u)
+        while (k < off(u + 1)) {
+          if (remap(ds(k)) >= 0) {
+            nIl(p) = il(k); nOl(p) = ol(k); nWt(p) = wt(k); nDs(p) = remap(ds(k))
+            p += 1
+          }
+          k += 1
+        }
+      }
+      u += 1
+    }
+    val fb = mutable.ArrayBuffer.empty[(Int, Double)]
+    i = 0
+    while (i < finState.length) {
+      if (remap(finState(i)) >= 0) fb += ((remap(finState(i)), finWt(i)))
+      i += 1
+    }
+    val fs = fb.sortBy(_._1)
+    new Wfst(remap(start), kept, nOff, nIl, nOl, nWt, nDs,
+      fs.map(_._1).toArray, fs.map(_._2).toArray)
   }
 
-  /** Topological order if acyclic (Kahn), else None. The per-window
+  // ---------------------------------------------------------------- distances
+
+  /** Topological order if acyclic (Kahn), else null. The per-window
     * machines of the correction cascade are all DAGs — distance
     * computations use linear DP there and fall back to Dijkstra on
     * cyclic machines (e.g. compiled error models with sigma loops). */
-  def topoOrder: Option[Array[Int]] = {
+  private def topoOrderOrNull: Array[Int] = {
     val n = numStates
     val indeg = new Array[Int](n)
-    var u = 0
-    while (u < n) { for (a <- arcs(u)) indeg(a.dst) += 1; u += 1 }
+    var k = 0
+    val total = numArcs
+    while (k < total) { indeg(ds(k)) += 1; k += 1 }
     val order = new Array[Int](n)
     var head = 0; var tail = 0
-    u = 0
+    var u = 0
     while (u < n) { if (indeg(u) == 0) { order(tail) = u; tail += 1 }; u += 1 }
     while (head < tail) {
       val v = order(head); head += 1
-      for (a <- arcs(v)) {
-        indeg(a.dst) -= 1
-        if (indeg(a.dst) == 0) { order(tail) = a.dst; tail += 1 }
+      k = off(v)
+      while (k < off(v + 1)) {
+        indeg(ds(k)) -= 1
+        if (indeg(ds(k)) == 0) { order(tail) = ds(k); tail += 1 }
+        k += 1
       }
     }
-    if (tail == n) Some(order) else None
+    if (tail == n) order else null
   }
 
-  /** Shortest distance from start to every state (tropical; topo DP on
-    * DAGs, Dijkstra otherwise — all weights are -ln(p) >= 0 here). */
-  def shortestDistances: Array[Double] = shortestDistances(topoOrder)
+  def topoOrder: Option[Array[Int]] = Option(topoOrderOrNull)
 
-  private def shortestDistances(topo: Option[Array[Int]]): Array[Double] = {
+  def shortestDistances: Array[Double] = shortestDistances(topoOrderOrNull)
+
+  private def shortestDistances(topo: Array[Int]): Array[Double] = {
     val dist = Array.fill(numStates)(Double.PositiveInfinity)
     if (numStates == 0) return dist
     dist(start) = 0.0
-    topo match {
-      case Some(order) =>
-        var i = 0
-        while (i < order.length) {
-          val u = order(i)
-          val d = dist(u)
-          if (!d.isInfinity) {
-            for (a <- arcs(u)) {
-              val nd = d + a.weight
-              if (nd < dist(a.dst)) dist(a.dst) = nd
-            }
-          }
-          i += 1
-        }
-      case None =>
-        val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
-        pq.enqueue((0.0, start))
-        while (pq.nonEmpty) {
-          val (d, u) = pq.dequeue()
-          if (d <= dist(u) + 1e-15) {
-            for (a <- arcs(u)) {
-              val nd = d + a.weight
-              if (nd < dist(a.dst) - 1e-15) { dist(a.dst) = nd; pq.enqueue((nd, a.dst)) }
-            }
+    if (topo != null) {
+      var i = 0
+      while (i < topo.length) {
+        val u = topo(i)
+        val d = dist(u)
+        if (!d.isInfinity) {
+          var k = off(u)
+          while (k < off(u + 1)) {
+            val nd = d + wt(k)
+            if (nd < dist(ds(k))) dist(ds(k)) = nd
+            k += 1
           }
         }
+        i += 1
+      }
+    } else {
+      val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
+      pq.enqueue((0.0, start))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (d <= dist(u) + 1e-15) {
+          var k = off(u)
+          while (k < off(u + 1)) {
+            val nd = d + wt(k)
+            if (nd < dist(ds(k)) - 1e-15) { dist(ds(k)) = nd; pq.enqueue((nd, ds(k))) }
+            k += 1
+          }
+        }
+      }
     }
     dist
   }
 
-  /** Shortest distance from every state to a final (incl. final weight). */
-  def reverseDistances: Array[Double] = reverseDistances(topoOrder)
+  def reverseDistances: Array[Double] = reverseDistances(topoOrderOrNull)
 
-  private def reverseDistances(topo: Option[Array[Int]]): Array[Double] = {
+  private def reverseDistances(topo: Array[Int]): Array[Double] = {
     val n = numStates
     val dist = Array.fill(n)(Double.PositiveInfinity)
     if (n == 0) return dist
-    finals.foreach { case (s, w) => dist(s) = w }
-    topo match {
-      case Some(order) =>
-        var i = order.length - 1
-        while (i >= 0) {
-          val u = order(i)
-          for (a <- arcs(u)) {
-            val nd = a.weight + dist(a.dst)
-            if (nd < dist(u)) dist(u) = nd
-          }
-          i -= 1
+    var i = 0
+    while (i < finState.length) { dist(finState(i)) = finWt(i); i += 1 }
+    if (topo != null) {
+      i = topo.length - 1
+      while (i >= 0) {
+        val u = topo(i)
+        var k = off(u)
+        while (k < off(u + 1)) {
+          val nd = wt(k) + dist(ds(k))
+          if (nd < dist(u)) dist(u) = nd
+          k += 1
         }
-      case None =>
-        val rev = Array.fill(n)(mutable.ArrayBuffer.empty[(Int, Double)])
-        var u = 0
-        while (u < n) { for (a <- arcs(u)) rev(a.dst) += ((u, a.weight)); u += 1 }
-        val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
-        finals.foreach { case (s, w) => pq.enqueue((w, s)) }
-        while (pq.nonEmpty) {
-          val (d, v) = pq.dequeue()
-          if (d <= dist(v) + 1e-15) {
-            for ((p, w) <- rev(v)) {
-              val nd = d + w
-              if (nd < dist(p) - 1e-15) { dist(p) = nd; pq.enqueue((nd, p)) }
+        i -= 1
+      }
+    } else {
+      val revCnt = new Array[Int](n)
+      var k = 0
+      val total = numArcs
+      while (k < total) { revCnt(ds(k)) += 1; k += 1 }
+      val revOff = new Array[Int](n + 1)
+      var u = 0
+      while (u < n) { revOff(u + 1) = revOff(u) + revCnt(u); u += 1 }
+      val revSrc = new Array[Int](total)
+      val revW = new Array[Double](total)
+      val fill = revOff.clone()
+      u = 0
+      while (u < n) {
+        k = off(u)
+        while (k < off(u + 1)) {
+          val d = ds(k); revSrc(fill(d)) = u; revW(fill(d)) = wt(k); fill(d) += 1
+          k += 1
+        }
+        u += 1
+      }
+      val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
+      i = 0
+      while (i < finState.length) { pq.enqueue((finWt(i), finState(i))); i += 1 }
+      while (pq.nonEmpty) {
+        val (d, v) = pq.dequeue()
+        if (d <= dist(v) + 1e-15) {
+          var r = revOff(v)
+          while (r < revOff(v + 1)) {
+            val nd = d + revW(r)
+            if (nd < dist(revSrc(r)) - 1e-15) {
+              dist(revSrc(r)) = nd; pq.enqueue((nd, revSrc(r)))
             }
+            r += 1
           }
         }
+      }
     }
     dist
   }
 
   /** Beam prune (OpenFst/pynini `prune(weight=th)`, lib/latticegen.py:50):
     * keep only states/arcs on some accepting path of weight <= best + th.
-    */
+    * Renumbers (trims) in the same pass. */
   def prune(th: Double): Wfst = {
     if (numStates == 0) return this
-    val topo = topoOrder
+    val topo = topoOrderOrNull
     val fwd = shortestDistances(topo)
     val bwd = reverseDistances(topo)
-    val best = bwd(start) // = min over finals of fwd + final weight
+    val best = bwd(start)
     if (best.isInfinity) return Wfst.emptyFst
     val lim = best + th + 1e-9
-    val out = arcs.zipWithIndex.map { case (as, s) =>
-      if (fwd(s) + bwd(s) > lim) Array.empty[Arc]
-      else as.filter(a => fwd(s) + a.weight + bwd(a.dst) <= lim)
+    val n = numStates
+    val remap = new Array[Int](n)
+    var kept = 0
+    var u = 0
+    while (u < n) {
+      if (fwd(u) + bwd(u) <= lim) { remap(u) = kept; kept += 1 } else remap(u) = -1
+      u += 1
     }
-    val fin = finals.filter { case (s, w) => fwd(s) + w <= lim }
-    new Wfst(start, fin, out).connect
+    val nOff = new Array[Int](kept + 1)
+    u = 0
+    while (u < n) {
+      if (remap(u) >= 0) {
+        var c = 0
+        var k = off(u)
+        while (k < off(u + 1)) {
+          if (remap(ds(k)) >= 0 && fwd(u) + wt(k) + bwd(ds(k)) <= lim) c += 1
+          k += 1
+        }
+        nOff(remap(u) + 1) = c
+      }
+      u += 1
+    }
+    var t = 0
+    while (t < kept) { nOff(t + 1) += nOff(t); t += 1 }
+    val m = nOff(kept)
+    val nIl = new Array[Int](m); val nOl = new Array[Int](m)
+    val nWt = new Array[Double](m); val nDs = new Array[Int](m)
+    u = 0
+    while (u < n) {
+      if (remap(u) >= 0) {
+        var p = nOff(remap(u))
+        var k = off(u)
+        while (k < off(u + 1)) {
+          if (remap(ds(k)) >= 0 && fwd(u) + wt(k) + bwd(ds(k)) <= lim) {
+            nIl(p) = il(k); nOl(p) = ol(k); nWt(p) = wt(k); nDs(p) = remap(ds(k))
+            p += 1
+          }
+          k += 1
+        }
+      }
+      u += 1
+    }
+    val fb = mutable.ArrayBuffer.empty[(Int, Double)]
+    var i = 0
+    while (i < finState.length) {
+      val s = finState(i)
+      if (remap(s) >= 0 && fwd(s) + finWt(i) <= lim) fb += ((remap(s), finWt(i)))
+      i += 1
+    }
+    val fs = fb.sortBy(_._1)
+    new Wfst(remap(start), kept, nOff, nIl, nOl, nWt, nDs,
+      fs.map(_._1).toArray, fs.map(_._2).toArray)
   }
 
   // ---------------------------------------------------------------- compose
@@ -345,10 +514,26 @@ final class Wfst(
   /** Presort arcs by ilabel (pynini `arcsort`, lib/latticegen.py:205) so
     * compose can range-scan matches. Sigma (-1) sorts first. */
   def arcSort: Wfst = {
-    val out = arcs.map { as =>
-      val c = as.clone(); java.util.Arrays.sort(c, Ordering.by[Arc, Int](_.ilabel)); c
+    val n = numStates
+    val nIl = il.clone(); val nOl = ol.clone()
+    val nWt = wt.clone(); val nDs = ds.clone()
+    val idx = new Array[Integer](numArcs) // per-state sort via boxed idx (compile-time only)
+    var s = 0
+    while (s < n) {
+      val lo = off(s); val hi = off(s + 1)
+      var i = lo
+      while (i < hi) { idx(i) = Integer.valueOf(i); i += 1 }
+      java.util.Arrays.sort(idx, lo, hi,
+        (a: Integer, b: Integer) => Integer.compare(il(a), il(b)))
+      i = lo
+      while (i < hi) {
+        val src = idx(i).intValue()
+        nIl(i) = il(src); nOl(i) = ol(src); nWt(i) = wt(src); nDs(i) = ds(src)
+        i += 1
+      }
+      s += 1
     }
-    new Wfst(start, finals, out)
+    new Wfst(start, n, off, nIl, nOl, nWt, nDs, finState, finWt)
   }
 
   /** Composition with the trivial epsilon filter: joint moves on equal
@@ -357,81 +542,94 @@ final class Wfst(
     * arcs. Duplicate-free as long as at most one side carries eps on the
     * shared tape — true everywhere in this pipeline (left inputs are
     * rmEpsilon'd first, cf. SURVEY.md §2 row B5). `that` must be arcSort'd.
-    */
+    * Result is trimmed (connect). */
   def compose(that: Wfst): Wfst = {
     if (this.numStates == 0 || that.numStates == 0) return Wfst.emptyFst
     val stateIds = new LongIntMap(64)
-    val statePairs = mutable.ArrayBuffer.empty[Long]
-    val out = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Arc]]
+    var pairA = new Array[Int](64)
+    var pairB = new Array[Int](64)
+    var nStates = 0
+    val sink = new ArcSink(128)
+    val outOff = new IntList(128)
     def id(p: Int, q: Int): Int = {
       val k = p.toLong << 32 | (q.toLong & 0xffffffffL)
       val existing = stateIds.getOrElse(k, -1)
       if (existing >= 0) existing
       else {
-        statePairs += k; out += new mutable.ArrayBuffer[Arc](4)
-        val nid = statePairs.length - 1
-        stateIds.put(k, nid)
-        nid
+        if (nStates == pairA.length) {
+          pairA = java.util.Arrays.copyOf(pairA, nStates << 1)
+          pairB = java.util.Arrays.copyOf(pairB, nStates << 1)
+        }
+        pairA(nStates) = p; pairB(nStates) = q
+        stateIds.put(k, nStates)
+        nStates += 1
+        nStates - 1
       }
     }
-    val s0 = id(this.start, that.start)
+    id(this.start, that.start)
     var head = 0
-    while (head < statePairs.length) {
-      val k = statePairs(head)
-      val p = (k >> 32).toInt; val q = k.toInt
-      val buf = out(head)
-      val bArcs = that.arcs(q)
-      // right-alone: eps-input arcs of `that` (and collect sigma arcs)
-      var sigmaEnd = 0
-      var bi = 0
-      while (bi < bArcs.length && bArcs(bi).ilabel < Label.Eps) { sigmaEnd = bi + 1; bi += 1 }
+    outOff.add(0)
+    while (head < nStates) {
+      val p = pairA(head); val q = pairB(head)
+      val bLo = that.off(q); val bHi = that.off(q + 1)
+      // sigma block [bLo, sigmaEnd), then eps block [sigmaEnd, be)
+      var sigmaEnd = bLo
+      while (sigmaEnd < bHi && that.il(sigmaEnd) < Label.Eps) sigmaEnd += 1
       var be = sigmaEnd
-      while (be < bArcs.length && bArcs(be).ilabel == Label.Eps) {
-        val b = bArcs(be)
-        buf += Arc(Label.Eps, b.olabel, b.weight, id(p, b.dst))
+      while (be < bHi && that.il(be) == Label.Eps) {
+        sink.add(Label.Eps, that.ol(be), that.wt(be), id(p, that.ds(be)))
         be += 1
       }
-      for (a <- this.arcs(p)) {
-        if (a.olabel == Label.Eps) {
-          // left-alone move
-          buf += Arc(a.ilabel, Label.Eps, a.weight, id(a.dst, q))
+      var ka = this.off(p)
+      val kaHi = this.off(p + 1)
+      while (ka < kaHi) {
+        val aol = this.ol(ka)
+        if (aol == Label.Eps) {
+          sink.add(this.il(ka), Label.Eps, this.wt(ka), id(this.ds(ka), q))
         } else {
-          // binary search the sorted block of matching ilabels
-          var lo = be; var hi = bArcs.length
+          var lo = be; var hi = bHi
           while (lo < hi) {
             val mid = (lo + hi) >>> 1
-            if (bArcs(mid).ilabel < a.olabel) lo = mid + 1 else hi = mid
+            if (that.il(mid) < aol) lo = mid + 1 else hi = mid
           }
           var j = lo
-          while (j < bArcs.length && bArcs(j).ilabel == a.olabel) {
-            val b = bArcs(j)
-            buf += Arc(a.ilabel, b.olabel, a.weight + b.weight, id(a.dst, b.dst))
+          while (j < bHi && that.il(j) == aol) {
+            sink.add(this.il(ka), that.ol(j), this.wt(ka) + that.wt(j),
+              id(this.ds(ka), that.ds(j)))
             j += 1
           }
-          // sigma arcs match any non-eps symbol as identity
-          var si = 0
+          var si = bLo
           while (si < sigmaEnd) {
-            val b = bArcs(si)
-            val ol = if (b.olabel == Label.Sigma) a.olabel else b.olabel
-            buf += Arc(a.ilabel, ol, a.weight + b.weight, id(a.dst, b.dst))
+            val o2 = if (that.ol(si) == Label.Sigma) aol else that.ol(si)
+            sink.add(this.il(ka), o2, this.wt(ka) + that.wt(si),
+              id(this.ds(ka), that.ds(si)))
             si += 1
           }
         }
+        ka += 1
       }
       head += 1
+      outOff.add(sink.n)
     }
-    val fin = mutable.HashMap.empty[Int, Double]
+    // states discovered after their arcs were emitted have empty ranges
+    while (outOff.n <= nStates) outOff.add(sink.n)
+    val fb = mutable.ArrayBuffer.empty[(Int, Double)]
     var i = 0
-    while (i < statePairs.length) {
-      val k = statePairs(i)
-      val p = (k >> 32).toInt; val q = k.toInt
-      (this.finals.get(p), that.finals.get(q)) match {
-        case (Some(w1), Some(w2)) => fin(i) = w1 + w2
-        case _                    =>
+    while (i < nStates) {
+      val wa = this.finalWeight(pairA(i))
+      if (!wa.isInfinity) {
+        val wb = that.finalWeight(pairB(i))
+        if (!wb.isInfinity) fb += ((i, wa + wb))
       }
       i += 1
     }
-    new Wfst(s0, fin.toMap, out.map(_.toArray).toArray).connect
+    val fs = fb.sortBy(_._1)
+    new Wfst(0, nStates, outOff.toArray,
+      java.util.Arrays.copyOf(sink.il, sink.n),
+      java.util.Arrays.copyOf(sink.ol, sink.n),
+      java.util.Arrays.copyOf(sink.wt, sink.n),
+      java.util.Arrays.copyOf(sink.ds, sink.n),
+      fs.map(_._1).toArray, fs.map(_._2).toArray).connect
   }
 
   // ---------------------------------------------------------------- decoding
@@ -440,50 +638,52 @@ final class Wfst(
     * lib/latticegen.py:142-147). Returns (input, output, weight) of the
     * best accepting path, or None if the language is empty. */
   def shortestPath: Option[(String, String, Double)] = {
-    if (numStates == 0 || finals.isEmpty) return None
+    if (numStates == 0 || finState.isEmpty) return None
     val dist = Array.fill(numStates)(Double.PositiveInfinity)
-    val fromState = Array.fill(numStates)(-1)
-    val fromArc = Array.fill(numStates)(null: Arc)
+    val fromArc = new Array[Int](numStates)
+    java.util.Arrays.fill(fromArc, -1)
+    val fromState = new Array[Int](numStates)
     dist(start) = 0.0
     val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
     pq.enqueue((0.0, start))
     while (pq.nonEmpty) {
       val (d, u) = pq.dequeue()
       if (d <= dist(u) + 1e-15) {
-        for (a <- arcs(u)) {
-          val nd = d + a.weight
-          if (nd < dist(a.dst) - 1e-15) {
-            dist(a.dst) = nd; fromState(a.dst) = u; fromArc(a.dst) = a
-            pq.enqueue((nd, a.dst))
+        var k = off(u)
+        while (k < off(u + 1)) {
+          val nd = d + wt(k)
+          if (nd < dist(ds(k)) - 1e-15) {
+            dist(ds(k)) = nd; fromArc(ds(k)) = k; fromState(ds(k)) = u
+            pq.enqueue((nd, ds(k)))
           }
+          k += 1
         }
       }
     }
-    val bestFinal = finals.iterator
-      .map { case (s, w) => (s, dist(s) + w) }
-      .filter(!_._2.isInfinity)
-      .minByOption(_._2)
-    bestFinal.map { case (fs, total) =>
-      var rev = List.empty[Arc]
-      var cur = fs
-      while (cur != start) {
-        rev ::= fromArc(cur)
-        cur = fromState(cur)
-      }
-      val in = new StringBuilder; val outb = new StringBuilder
-      rev.foreach { arc =>
-        if (arc.ilabel > 0) in.appendAll(Character.toChars(arc.ilabel))
-        if (arc.olabel > 0) outb.appendAll(Character.toChars(arc.olabel))
-      }
-      (in.result(), outb.result(), total)
+    var bestS = -1; var bestW = Double.PositiveInfinity
+    var i = 0
+    while (i < finState.length) {
+      val w = dist(finState(i)) + finWt(i)
+      if (w < bestW) { bestW = w; bestS = finState(i) }
+      i += 1
     }
+    if (bestS < 0) return None
+    var rev = List.empty[Int]
+    var cur = bestS
+    while (cur != start) { rev ::= fromArc(cur); cur = fromState(cur) }
+    val in = new StringBuilder; val outb = new StringBuilder
+    rev.foreach { k =>
+      if (il(k) > 0) in.appendAll(Character.toChars(il(k)))
+      if (ol(k) > 0) outb.appendAll(Character.toChars(ol(k)))
+    }
+    Some((in.result(), outb.result(), bestW))
   }
 
   /** Enumerate all accepting paths (pynini `paths()`, used on pruned
     * acyclic window FSTs, lib/latticegen.py:150-181). Requires an acyclic
     * machine; guarded by a path budget. */
   def paths(maxPaths: Int = 100000): Seq[(String, String, Double)] = {
-    if (numStates == 0 || finals.isEmpty) return Seq.empty
+    if (numStates == 0 || finState.isEmpty) return Seq.empty
     val acc = mutable.ArrayBuffer.empty[(String, String, Double)]
     val inb = new mutable.ArrayBuffer[Int]; val outb = new mutable.ArrayBuffer[Int]
     val onStack = new Array[Boolean](numStates)
@@ -492,16 +692,17 @@ final class Wfst(
         throw new IllegalStateException(s"paths() budget exceeded ($maxPaths)")
       if (onStack(s))
         throw new IllegalStateException("paths() on a cyclic FST")
-      finals.get(s).foreach { wf =>
-        acc += ((cps(inb), cps(outb), w + wf))
-      }
+      val fw = finalWeight(s)
+      if (!fw.isInfinity) acc += ((cps(inb), cps(outb), w + fw))
       onStack(s) = true
-      for (a <- arcs(s)) {
-        if (a.ilabel > 0) inb += a.ilabel
-        if (a.olabel > 0) outb += a.olabel
-        dfs(a.dst, w + a.weight)
-        if (a.ilabel > 0) inb.remove(inb.length - 1)
-        if (a.olabel > 0) outb.remove(outb.length - 1)
+      var k = off(s)
+      while (k < off(s + 1)) {
+        if (il(k) > 0) inb += il(k)
+        if (ol(k) > 0) outb += ol(k)
+        dfs(ds(k), w + wt(k))
+        if (il(k) > 0) inb.remove(inb.length - 1)
+        if (ol(k) > 0) outb.remove(outb.length - 1)
+        k += 1
       }
       onStack(s) = false
     }
@@ -526,34 +727,104 @@ final class Wfst(
     b.foreach(cp => sb.appendAll(Character.toChars(cp)))
     sb.result()
   }
+}
 
-  private def copyInto(src: Wfst, off: Int,
-      out: Array[mutable.ArrayBuffer[Arc]]): Unit = {
+/** Growable int list (CSR offsets). */
+private[wfst] final class IntList(cap0: Int = 64) {
+  var a = new Array[Int](cap0)
+  var n = 0
+  def add(v: Int): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+    a(n) = v; n += 1
+  }
+  def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+}
+
+/** Mutable machine builder: arcs arrive in any state order; `result`
+  * bins them into CSR. */
+private[wfst] final class WfstBuilder(val numStates: Int) {
+  private val srcs = new IntList(64)
+  private val sink = new ArcSink(64)
+  private val finW = Array.fill(numStates)(Double.PositiveInfinity)
+
+  def addArc(s: Int, i: Int, o: Int, w: Double, d: Int): Unit = {
+    srcs.add(s); sink.add(i, o, w, d)
+  }
+  def setFinal(s: Int, w: Double): Unit =
+    if (w < finW(s)) finW(s) = w
+  def copyMachine(m: Wfst, shift: Int): Unit = {
     var s = 0
-    while (s < src.numStates) {
-      for (a <- src.arcs(s))
-        out(s + off) += Arc(a.ilabel, a.olabel, a.weight, a.dst + off)
+    while (s < m.numStates) {
+      var k = m.off(s)
+      while (k < m.off(s + 1)) {
+        addArc(s + shift, m.il(k), m.ol(k), m.wt(k), m.ds(k) + shift)
+        k += 1
+      }
       s += 1
     }
   }
+  def result(start: Int): Wfst = Wfst.fromBuilder(start, numStates, srcs, sink, finW)
 }
 
 object Wfst {
+
+  private[wfst] def fromBuilder(start: Int, n: Int, srcs: IntList,
+      sink: ArcSink, finW: Array[Double]): Wfst = {
+    val cnt = new Array[Int](n)
+    var i = 0
+    while (i < srcs.n) { cnt(srcs.a(i)) += 1; i += 1 }
+    val off = new Array[Int](n + 1)
+    var s = 0
+    while (s < n) { off(s + 1) = off(s) + cnt(s); s += 1 }
+    val m = off(n)
+    val il = new Array[Int](m); val ol = new Array[Int](m)
+    val wt = new Array[Double](m); val ds = new Array[Int](m)
+    val fill = off.clone()
+    i = 0
+    while (i < srcs.n) {
+      val p = fill(srcs.a(i)); fill(srcs.a(i)) += 1
+      il(p) = sink.il(i); ol(p) = sink.ol(i); wt(p) = sink.wt(i); ds(p) = sink.ds(i)
+      i += 1
+    }
+    val fb = mutable.ArrayBuffer.empty[(Int, Double)]
+    s = 0
+    while (s < n) {
+      if (finW(s) != Double.PositiveInfinity) fb += ((s, finW(s)))
+      s += 1
+    }
+    new Wfst(start, n, off, il, ol, wt, ds,
+      fb.map(_._1).toArray, fb.map(_._2).toArray)
+  }
+
+  /** Construct from per-state arc arrays (tests / non-hot builders). */
+  def apply(start: Int, finals: Map[Int, Double],
+      arcsPerState: Array[Array[Arc]]): Wfst = {
+    val n = arcsPerState.length
+    val b = new WfstBuilder(n)
+    var s = 0
+    while (s < n) {
+      arcsPerState(s).foreach(a => b.addArc(s, a.ilabel, a.olabel, a.weight, a.dst))
+      s += 1
+    }
+    finals.foreach { case (st, w) => b.setFinal(st, w) }
+    b.result(start)
+  }
+
   /** The empty-language machine. */
-  val emptyFst: Wfst = new Wfst(0, Map.empty, Array(Array.empty[Arc]))
+  val emptyFst: Wfst = apply(0, Map.empty, Array(Array.empty[Arc]))
 
   /** Accepts only the empty string with weight 0. */
-  def epsilonFst: Wfst = new Wfst(0, Map(0 -> 0.0), Array(Array.empty[Arc]))
+  def epsilonFst: Wfst = apply(0, Map(0 -> 0.0), Array(Array.empty[Arc]))
 
   /** Linear-chain identity acceptor of `s` with final weight `w`
     * (pynini `acceptor`, lib/latticegen.py:29-35). */
   def acceptor(s: String, w: Double = 0.0): Wfst = {
     val cps = s.codePoints().toArray
     val n = cps.length
-    val arcs = Array.tabulate(n + 1) { i =>
-      if (i < n) Array(Arc(cps(i), cps(i), 0.0, i + 1)) else Array.empty[Arc]
-    }
-    new Wfst(0, Map(n -> w), arcs)
+    val off = Array.tabulate(n + 1 + 1)(i => math.min(i, n))
+    val wt = new Array[Double](n)
+    new Wfst(0, n + 1, off, cps, cps, wt,
+      Array.tabulate(n)(_ + 1), Array(n), Array(w))
   }
 
   /** Weighted union of identity acceptors, trie-shared (pynini
@@ -572,11 +843,11 @@ object Wfst {
       }
       if (w < fin.getOrElse(cur, Double.PositiveInfinity)) fin(cur) = w
     }
-    val arcs = children.map { m =>
+    val arr = children.map { m =>
       m.iterator.map { case (cp, dst) => Arc(cp, cp, 0.0, dst) }
         .toArray.sortBy(_.ilabel)
     }.toArray
-    new Wfst(0, fin.toMap, arcs)
+    apply(0, fin.toMap, arr)
   }
 
   /** Weighted union of string-pair transducers (pynini `string_map` over
@@ -592,23 +863,23 @@ object Wfst {
       var cur = 0
       var k = 0
       while (k < len) {
-        val il = if (k < icps.length) icps(k) else Label.Eps
-        val ol = if (k < ocps.length) ocps(k) else Label.Eps
+        val i = if (k < icps.length) icps(k) else Label.Eps
+        val o = if (k < ocps.length) ocps(k) else Label.Eps
         states += mutable.ArrayBuffer.empty[Arc]
         val nxt = states.length - 1
-        states(cur) += Arc(il, ol, 0.0, nxt)
+        states(cur) += Arc(i, o, 0.0, nxt)
         cur = nxt
         k += 1
       }
       if (w < fin.getOrElse(cur, Double.PositiveInfinity)) fin(cur) = w
     }
-    new Wfst(0, fin.toMap, states.map(_.toArray).toArray)
+    apply(0, fin.toMap, states.map(_.toArray).toArray)
   }
 
   /** Sigma-star: accepts any string with weight 0 (the universal acceptor
     * of combine_error_transducers, lib/error_simp.py:264-271, realized as
     * one wildcard self-loop instead of per-symbol loops). */
   def sigmaStar: Wfst =
-    new Wfst(0, Map(0 -> 0.0),
+    apply(0, Map(0 -> 0.0),
       Array(Array(Arc(Label.Sigma, Label.Sigma, 0.0, 0))))
 }

@@ -113,7 +113,7 @@ class WfstSpec extends AnyFunSuite {
 
   test("connect drops dead states") {
     // state 1 unreachable-to-final
-    val f = new Wfst(0, Map(2 -> 0.0), Array(
+    val f = Wfst(0, Map(2 -> 0.0), Array(
       Array(Arc('a', 'a', 0.0, 1), Arc('b', 'b', 0.0, 2)),
       Array.empty[Arc],
       Array.empty[Arc]))
