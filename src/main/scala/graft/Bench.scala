@@ -25,11 +25,14 @@ object Bench {
   /** Flagship throughput: synthesized interleaved Doc table sized so the
     * correction map dominates; returns (textSpans, seconds). */
   def correctionThroughput(spark: SparkSession, model: CompiledModel,
-      nDocs: Long, cpus: Int, seed: Long = 42L): (Long, Double) = {
+      nDocs: Long, cpus: Int, seed: Long = 42L,
+      diverse: Boolean = false): (Long, Double) = {
     // 4 task waves per core: straggler/skew smoothing (a single wave of
     // exactly-`cpus` tasks is gated by its slowest task)
     val partitions = cpus * 4
-    val docs = DocGen.docs(spark, nDocs, seed = seed, partitions = partitions)
+    val docs =
+      if (diverse) DocGen.docsDiverse(spark, nDocs, seed, partitions)
+      else DocGen.docs(spark, nDocs, seed = seed, partitions = partitions)
     val bc = CorrectionJob.broadcastModel(spark, model)
     val metrics = graft.pipeline.Metrics(spark)
     val (_, sec) = time {

@@ -23,9 +23,10 @@ object ScalingBench {
     val model = Bench.fixtureModel()
     try {
       Bench.correctionThroughput(spark, model, math.max(nDocs / 10, 100),
-        cpus, seed = 99L) // warmup (JIT + broadcast)
+        cpus, seed = 99L, diverse = true) // warmup (JIT + broadcast)
       val reps = Seq(1L, 2L, 3L).map { sd =>
-        val (spans, sec) = Bench.correctionThroughput(spark, model, nDocs, cpus, sd)
+        val (spans, sec) =
+          Bench.correctionThroughput(spark, model, nDocs, cpus, sd, diverse = true)
         (spans, spans / sec)
       }
       val best = reps.maxBy(_._2)

@@ -98,6 +98,51 @@ object DocGen {
   def doc(docIdx: Long, seed: Long): Doc =
     Doc(f"doc-$docIdx%08d", spansFor(docIdx, seed))
 
+  /** Vocabulary pool of the GT lines (whitespace tokens). */
+  private lazy val vocab: IndexedSeq[String] =
+    gtLines.flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
+
+  /** High-diversity line: 6-10 tokens sampled uniformly from the GT
+    * vocabulary, ~40% of tokens carrying a random char substitution —
+    * the window space is effectively unbounded, so per-window work is
+    * cache-miss-dominated. This models the novel-vocabulary tail of a
+    * 10^12-document corpus and is what the scaling bench runs on. */
+  def diverseLine(seed: Long): String = {
+    var r = mix(seed)
+    val n = 6 + (((r >>> 23) % 5).toInt + 5) % 5
+    val sb = new StringBuilder
+    var k = 0
+    while (k < n) {
+      r = mix(r)
+      var tok = vocab((((r >>> 11) % vocab.length).toInt + vocab.length) % vocab.length)
+      if (((r >>> 5) % 5) < 2 && tok.length > 1) { // ~40%: 1 char substituted
+        val pos = (((r >>> 29) % tok.length).toInt + tok.length) % tok.length
+        val c = ('a' + (((r >>> 41) % 26).toInt + 26) % 26).toChar
+        tok = tok.substring(0, pos) + c + tok.substring(pos + 1)
+      }
+      if (k > 0) sb.append(' ')
+      sb.append(tok)
+      k += 1
+    }
+    sb.result()
+  }
+
+  def diverseDoc(docIdx: Long, seed: Long): Doc = {
+    var r = mix(seed ^ docIdx)
+    val nSpans = 2 + (((r >>> 16) % 6).toInt + 6) % 6
+    val spans = (0 until nSpans).map { i =>
+      r = mix(r)
+      Span("text", diverseLine(r), "", i)
+    }
+    Doc(f"doc-$docIdx%08d", spans)
+  }
+
+  def docsDiverse(spark: SparkSession, nDocs: Long, seed: Long = 42L,
+      partitions: Int = 32): Dataset[Doc] = {
+    import spark.implicits._
+    spark.range(0L, nDocs, 1L, partitions).map(i => diverseDoc(i, seed))
+  }
+
   /** Distributed generation: content depends only on (seed, doc index). */
   def docs(spark: SparkSession, nDocs: Long, seed: Long = 42L,
       partitions: Int = 32): Dataset[Doc] = {
