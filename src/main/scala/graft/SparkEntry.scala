@@ -33,6 +33,8 @@ object SparkEntry {
     "q_confusion_counts" -> (Queries.qConfusionCounts(_, _)),
     // training: ST/ngram stats (E rows)
     "q_ngram_topk" -> (Queries.qNgramTopk(_, _)),
+    "q_st_ngrams" -> (Queries.qStNgrams(_, _)),
+    "q_st_error_model" -> (Queries.qStErrorModel(_, _)),
     // evaluation (F rows)
     "q_cer_lev" -> (Queries.qCerLev(_, _)),
     "q_eval_metrics" -> (Queries.qEvalMetrics(_, _)),

@@ -66,6 +66,20 @@ object Oracles {
       |  WHERE length(text) >= 3
       |) t GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 50""".stripMargin
 
+  val qStNgrams: String =
+    """WITH grams AS (
+      |  SELECT substr(text, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS gram
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1, length(text)+1)) AS i) u,
+      |    LATERAL (SELECT unnest(range(1, least(3, length(text) - i + 1)+1)) AS n) v
+      |  WHERE length(text) >= 1
+      |), counts AS (
+      |  SELECT gram, count(*) AS cnt FROM grams GROUP BY gram
+      |)
+      |SELECT gram, cnt,
+      |  CAST(row_number() OVER (ORDER BY (length(gram) <= 1) DESC, cnt DESC, gram ASC) AS INTEGER) AS rank
+      |FROM counts QUALIFY rank <= 200 ORDER BY rank""".stripMargin
+
   val qCerLev: String =
     """WITH t AS (SELECT text, replace(replace(text, 'a', 'o'), 'r', 'n') AS ocr FROM documents)
       |SELECT CAST(sum(levenshtein(ocr, text)) AS BIGINT) AS edits,
@@ -150,6 +164,7 @@ object Oracles {
     "q_lexicon_counts" -> qLexiconCounts,
     "q_lexicon_weights" -> qLexiconWeights,
     "q_ngram_topk" -> qNgramTopk,
+    "q_st_ngrams" -> qStNgrams,
     "q_cer_lev" -> qCerLev,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,

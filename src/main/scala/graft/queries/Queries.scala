@@ -93,6 +93,40 @@ object Queries {
       .orderBy(desc("cnt"), asc("gram")).limit(50)
   }
 
+  /** E1-E3: all n-grams (n<=3, spaces included) with counts, plus the
+    * select_ngrams rank — all unigrams, then most-frequent higher-order
+    * (deterministic tie-break: count desc, gram asc). */
+  def qStNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = docsDf(s, dir).where(length($"text") >= 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, length(text)), i ->
+             transform(sequence(1, least(3, length(text) - i + 1)), n ->
+               substring(text, i, n))))""")).as("gram"))
+      .groupBy($"gram").agg(count(lit(1)).as("cnt"))
+    grams.select($"gram", $"cnt",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+        (length($"gram") <= 1).desc, $"cnt".desc, $"gram".asc)).as("rank"))
+      .where($"rank" <= 200)
+      .orderBy($"rank")
+  }
+
+  /** E5-E9 end-to-end (rows-only): EM-fit ST error model on a bounded
+    * pair sample, emit the learned (in_ngr, out_ngr, weight) mappings. */
+  def qStErrorModel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = pairsDf(s, dir).select($"ocr", $"gt").as[(String, String)]
+      .map { case (o, g) => (o.take(40), g.take(40)) } // bound the O(n^2) DP
+      .limit(120)
+    val st = graft.train.ErrorModelST.fitSpark(s, pairs,
+      maxN = 2, maxNgrams = 120, maxIters = 3, threshold = 1e-3)
+    val mappings = graft.train.ErrorModelST.matrixToMappings(
+      st.probs, st.ngrams, weightThreshold = 5.0)
+    mappings.toDF("in_ngr", "out_ngr", "weight")
+      .select($"in_ngr", $"out_ngr", round($"weight", 6).as("weight"))
+      .orderBy($"in_ngr", $"out_ngr")
+  }
+
   // ------------------------------------------------------------ D/F: training + eval
 
   /** D1: confusion n-gram counts over aligned OCR/GT pairs (the
