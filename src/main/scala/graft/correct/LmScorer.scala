@@ -1,0 +1,137 @@
+package graft.correct
+
+import scala.collection.mutable
+
+/** Pluggable language-model rescoring (SURVEY.md §2 row B12). The
+  * reference delegates to ocrd_keraslm's char-LSTM `rate_best`
+  * (scripts/process.py:42-52, wrapper/decode.py:118-159) — an external
+  * dependency we do not reimplement bit-for-bit. This trait mirrors its
+  * interface shape (stateful traceback threaded line→line, G7) with a
+  * deterministic char n-gram default; the FST-only path remains the
+  * correctness invariant (SURVEY.md §5). Beam clustering (dist 5) of
+  * keraslm is not reproduced (documented divergence). */
+trait LmScorer extends Serializable {
+  /** Opaque LM state (the traceback analogue). */
+  type State
+  def initialState: State
+  /** Advance over `text`, returning (new state, -ln P(text | state)). */
+  def advance(state: State, text: String): (State, Double)
+}
+
+/** Add-one-smoothed character n-gram LM trained on GT lines. State is
+  * the last (n-1) chars, carried across spans within a document. */
+final class CharNgramLm(val n: Int, counts: Map[String, Long],
+    contextCounts: Map[String, Long], vocabSize: Int) extends LmScorer {
+  type State = String
+  def initialState: String = ""
+
+  def advance(state: String, text: String): (String, Double) = {
+    var ctx = state
+    var cost = 0.0
+    text.foreach { c =>
+      val key = ctx + c
+      val num = counts.getOrElse(key, 0L) + 1.0
+      val den = contextCounts.getOrElse(ctx, 0L) + vocabSize.toDouble
+      cost += -math.log(num / den)
+      ctx = (ctx + c).takeRight(n - 1)
+    }
+    (ctx, cost)
+  }
+}
+
+object CharNgramLm {
+  def train(lines: Iterable[String], n: Int = 4): CharNgramLm = {
+    val counts = mutable.HashMap.empty[String, Long]
+    val ctxCounts = mutable.HashMap.empty[String, Long]
+    val vocab = mutable.HashSet.empty[Char]
+    lines.foreach { line =>
+      var ctx = ""
+      line.foreach { c =>
+        vocab += c
+        counts(ctx + c) = counts.getOrElse(ctx + c, 0L) + 1L
+        ctxCounts(ctx) = ctxCounts.getOrElse(ctx, 0L) + 1L
+        ctx = (ctx + c).takeRight(n - 1)
+      }
+    }
+    new CharNgramLm(n, counts.toMap, ctxCounts.toMap, math.max(vocab.size, 1))
+  }
+}
+
+/** Lattice beam-search rescoring + the document-level fold (G7): the LM
+  * state of the chosen path threads span→span within a document, as the
+  * wrapper threads the keraslm traceback line→line
+  * (wrapper/decode.py:118-159). */
+object LmDecoder {
+
+  private final case class Hyp(cost: Double, text: List[String], state: Any)
+
+  /** Best path through the lattice under fstWeight + lmWeight * lmCost,
+    * beam-pruned per lattice node. Returns (corrected line, final LM
+    * state of the best hypothesis). */
+  def decode(lattice: Lattice, lm: LmScorer)(startState: lm.State,
+      lmWeight: Double = 0.5, beamWidth: Int = 100): (Option[String], lm.State) = {
+    val n = lattice.nTokens
+    if (n == 0) return (None, startState)
+    val beams = Array.fill(n + 1)(mutable.ArrayBuffer.empty[Hyp])
+    beams(0) += Hyp(0.0, Nil, startState)
+    var i = 0
+    while (i < n) {
+      val beam = beams(i)
+      if (beam.nonEmpty) {
+        var j = 1
+        while (i + j <= n) {
+          lattice.edges.get((i, i + j)).foreach { alts =>
+            for (h <- beam; alt <- alts) {
+              val prefixSpace = if (i > 0) " " else ""
+              val (ns, lmCost) =
+                lm.advance(h.state.asInstanceOf[lm.State], prefixSpace + alt.text)
+              beams(i + j) += Hyp(h.cost + alt.weight + lmWeight * lmCost,
+                alt.text :: h.text, ns)
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+      // beam prune
+      if (beams(i).length > beamWidth) {
+        val kept = beams(i).sortBy(_.cost).take(beamWidth)
+        beams(i).clear(); beams(i) ++= kept
+      }
+      ()
+    }
+    if (beams(n).isEmpty) (None, startState)
+    else {
+      val best = beams(n).minBy(_.cost)
+      (Some(best.text.reverse.mkString(" ")), best.state.asInstanceOf[lm.State])
+    }
+  }
+
+  /** Correct one line with LM rescoring. */
+  def correctLineLm(line: String, model: CompiledModel, lm: LmScorer)(
+      state: lm.State, lmWeight: Double = 0.5, beamWidth: Int = 100,
+      cache: AltCache = null): (String, lm.State) = {
+    if (graft.tokenize.Tokenizer.splitInputString(line).isEmpty)
+      return (line, state)
+    val lattice = Corrector.latticeFromString(line, model, cache)
+    val (out, ns) = decode(lattice, lm)(state, lmWeight, beamWidth)
+    (out.getOrElse(line), ns)
+  }
+
+  /** Document-level sequential fold: lines in offset order share LM
+    * state; media spans pass through (and do not advance the LM). */
+  def correctDocLm(doc: graft.pipeline.Doc, model: CompiledModel,
+      lm: LmScorer, lmWeight: Double = 0.5, beamWidth: Int = 100,
+      cache: AltCache = null): graft.pipeline.Doc = {
+    var state = lm.initialState
+    val spans = doc.spans.map { s =>
+      if (s.kind == "text") {
+        val (out, ns) = correctLineLm(s.text, model, lm)(state,
+          lmWeight, beamWidth, cache)
+        state = ns
+        s.copy(text = out)
+      } else s
+    }
+    doc.copy(spans = spans)
+  }
+}
