@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.Fixtures
+import graft.correct.{CompiledModel, Corrector}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]").config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+
+  test("A1: two-column TSV pairs, malformed rows skipped") {
+    val dir = Files.createTempDirectory("src-a1")
+    val f = dir.resolve("pairs.tsv")
+    Files.writeString(f,
+      "id1\ttext one\nid2\ttext two\textra col kept out\nmalformed\nid3\tdrei\n")
+    val df = Sources.loadPairsFromFile(spark, f.toString)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq(("id1", "text one"), ("id2", "text two"), ("id3", "drei")))
+  }
+
+  test("A2: dir-of-files corpus keyed by basename") {
+    val dir = Files.createTempDirectory("src-a2")
+    Files.writeString(dir.resolve("lineA.gt.txt"), "erste zeile\n")
+    Files.writeString(dir.resolve("lineB.gt.txt"), "zweite zeile\n\n")
+    Files.writeString(dir.resolve("skip.other"), "nope\n")
+    val df = Sources.loadPairsFromDir(spark, dir.toString, "txt")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq(("lineA", "erste zeile"), ("lineB", "zweite zeile")))
+  }
+
+  test("A4: wordlist with malformed rows silently dropped") {
+    val dir = Files.createTempDirectory("src-a4")
+    val f = dir.resolve("words.tsv")
+    Files.writeString(f, "nicht\t500\nich\t800\nbad-row\nalso\tbad\n")
+    val df = Sources.loadWordlist(spark, f.toString)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(rows.toSeq == Seq(("ich", 800L), ("nicht", 500L)))
+  }
+
+  test("A5+A1 round trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("src-a5")
+    val df = Seq(("a", "x y"), ("b", "z")).toDF("line_id", "text")
+    Sources.savePairsToFile(df, s"$dir/out")
+    val back = Sources.loadPairsFromFile(spark, s"$dir/out")
+    assert(back.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
+      Seq(("a", "x y"), ("b", "z")))
+  }
+
+  test("A7: frequency list NBSP <-> box round trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("src-a7")
+    val df = Seq(("\u00a0h", "ch", 0.25), ("e", "\u00a0", 0.125))
+      .toDF("raw", "gt", "relfreq")
+    Sources.writeFrequencyList(df, s"$dir/freq")
+    val back = Sources.readFrequencyList(spark, s"$dir/freq")
+    assert(back.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._3).toSeq == Seq(("e", "\u00a0", 0.125), ("\u00a0h", "ch", 0.25)))
+  }
+
+  test("A6: FST and model serialization round trip") {
+    val dir = Files.createTempDirectory("src-a6")
+    val model = CompiledModel.train(Fixtures.trainingPairs, Fixtures.wordlist)
+    ModelIO.saveModel(model, s"$dir/model.bin")
+    val back = ModelIO.loadModel(s"$dir/model.bin")
+    assert(Corrector.correctLine("ih niht weiß", back) == "ich nicht weiß")
+    ModelIO.saveFst(model.windowFst, s"$dir/win.fst")
+    val w = ModelIO.loadFst(s"$dir/win.fst")
+    assert(w.numStates == model.windowFst.numStates)
+    assert(w.numArcs == model.windowFst.numArcs)
+  }
+
+  test("A8: ngram list round trip") {
+    val dir = Files.createTempDirectory("src-a8")
+    val ngrams = Seq("a", "b", "ab", "ch")
+    Sources.saveNgrams(spark, ngrams, s"$dir/ngrams")
+    assert(Sources.loadNgrams(spark, s"$dir/ngrams").sorted == ngrams.sorted)
+  }
+}
