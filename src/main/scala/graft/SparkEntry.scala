@@ -46,6 +46,8 @@ object SparkEntry {
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),
     "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),
+    // training-data pipeline: multimodal plumbing
+    "q_media_features" -> (Queries.qMediaFeatures(_, _)),
     // training-data pipeline: text analysis
     "q_quality" -> (Queries.qQuality(_, _)),
     "q_token_count_regex" -> (Queries.qTokenCountRegex(_, _)),

@@ -316,6 +316,22 @@ object Queries {
       .orderBy(desc("cos"), asc("vec_id")).limit(10)
   }
 
+  /** Multimodal plumbing (rows-only): synthesize media for a Doc table
+    * derived from documents, decode (stub) + extract features. */
+  def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.pipeline.DocGen.docs(s, nDocs = 200, seed = 7L, partitions = 8)
+    val media = graft.ops.Multimodal.synthesizeMedia(s, docs)
+    val decoded = graft.ops.Multimodal.decode(media)
+      .toDF("media_ref", "kind", "width", "height", "n_frames")
+    val feats = graft.ops.Multimodal.extractFeatures(media, dim = 8)
+      .toDF("media_ref", "features")
+    decoded.join(feats, "media_ref")
+      .select($"media_ref", $"kind", $"width", $"height", $"n_frames",
+        expr("transform(features, x -> round(CAST(x AS DOUBLE), 4))").as("features"))
+      .orderBy($"media_ref")
+  }
+
   // ------------------------------------------------------------ text analysis
 
   /** Quality scoring: token/char counts, stopword ratio, TTR. */
