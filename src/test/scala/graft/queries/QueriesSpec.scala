@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-surface checks: entry smoke, rows-only queries, text-op
+  * heuristics, and plan-shape assertions (pushdown/pruning). */
+class QueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("entry returns corrected interleaved docs (rows > 0)") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq == Seq("doc_id", "spans"))
+    assert(df.count() > 0)
+  }
+
+  test("every declared query runs at sf0.001 and returns rows") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("langId identifies clear-cut samples") {
+    assert(TextOps.langId("ich weiß nicht, daß der ſchöne Tag") == "de")
+    assert(TextOps.langId("the quick brown fox is jumping over the lazy dog") == "en")
+    assert(TextOps.langId("zzz qqq xxx") == "unk")
+  }
+
+  test("simhash: near-identical texts have small hamming distance") {
+    val a = TextOps.simhash64("the quick brown fox jumps over the lazy dog")
+    val b = TextOps.simhash64("the quick brown fox jumps over the lazy cat")
+    val c = TextOps.simhash64("completely unrelated text about spark queries")
+    assert(TextOps.hamming64(a, b) < TextOps.hamming64(a, c))
+    assert(TextOps.hamming64(a, a) == 0)
+  }
+
+  test("lsh signature: identical vectors collide, orthogonal ones differ") {
+    val v1 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val v2 = v1.clone()
+    val v3 = v1.map(-_)
+    assert(TextOps.lshSignature(v1) == TextOps.lshSignature(v2))
+    // negating the vector flips the sign of every hyperplane dot product
+    assert(TextOps.lshSignature(v3) == (~TextOps.lshSignature(v1) & 0xffff))
+  }
+
+  test("ann lsh candidates are consistent with brute-force ranking") {
+    val brute = Queries.qAnnCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val lsh = Queries.qAnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // every LSH hit's cosine must match the brute-force value for that id
+    val bruteMap = brute.toMap
+    lsh.foreach { case (id, cos) =>
+      bruteMap.get(id).foreach(b => assert(math.abs(b - cos) < 1e-3))
+    }
+    // the query vector itself (vec_id=0, cos=1.0) always survives LSH
+    assert(lsh.map(_._1).contains(0L))
+  }
+
+  test("plan shape: scans prune columns (documents: only needed columns read)") {
+    val plan = Queries.qTokenCounts(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(plan.contains("struct<text:string>"), s"expected text-only scan, got:\n$plan")
+  }
+
+  test("plan shape: ANN broadcast-joins the 1-row query side") {
+    val plan = Queries.qAnnCosine(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join, got:\n$plan")
+  }
+
+  test("plan shape: filter pushdown reaches the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") === 42L).select("doc_id", "lang")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(doc_id)"),
+      s"expected pushed filters, got:\n$plan")
+  }
+}
