@@ -252,14 +252,21 @@ object Queries {
         .as("sh"))
       .distinct()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val rare = sh.join(
-      sh.groupBy($"sh").agg(count(lit(1)).as("df")).where($"df" <= 20), "sh")
-    val pairs = rare.as("a").join(rare.as("b"),
-        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
+    // df-cut + pair generation WITHOUT a self-join: group docs per
+    // shingle (bounded lists), explode the <=C(20,2) pairs per shingle,
+    // count pair co-occurrences — one shuffle instead of a join that
+    // materializes the shingle table twice
+    val pairs = sh.groupBy($"sh")
+      .agg(collect_list($"doc_id").as("docs"))
+      .where(size($"docs").between(2, 20))
+      .select(explode(expr(
+        """flatten(transform(array_sort(docs), (a, i) ->
+             transform(slice(array_sort(docs), i + 2, size(docs)), b ->
+               struct(a AS ida, b AS idb))))""")).as("p"))
+      .groupBy($"p.ida".as("ida"), $"p.idb".as("idb"))
       .agg(count(lit(1)).as("common"))
-    pairs.join(sizes.as("sa"), $"ida" === $"sa.doc_id")
-      .join(sizes.as("sb"), $"idb" === $"sb.doc_id")
+    pairs.join(broadcast(sizes.as("sa")), $"ida" === $"sa.doc_id")
+      .join(broadcast(sizes.as("sb")), $"idb" === $"sb.doc_id")
       .select($"ida", $"idb",
         round($"common" / ($"sa.sz" + $"sb.sz" - $"common"), 6).as("jaccard"))
       .where($"jaccard" >= 0.2)
