@@ -273,12 +273,14 @@ object Queries {
       .orderBy($"ida", $"idb")
   }
 
-  /** SimHash (rows-only; bit math over token md5s, unit-tested). */
+  /** SimHash (rows-only; native Catalyst expression — stays inside
+    * whole-stage codegen, no typed-map serde; equality with the Scala
+    * reference impl asserted in FunctionsSpec). */
   def qSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, text) => (id, TextOps.simhash64(text)) }
-      .toDF("doc_id", "simhash")
+    docsDf(s, dir)
+      .select($"doc_id",
+        graft.functions.SimHash64.simhash64($"text").as("simhash"))
       .orderBy($"doc_id")
   }
 

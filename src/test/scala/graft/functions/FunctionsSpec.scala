@@ -1,0 +1,40 @@
+package graft.functions
+
+import graft.queries.TextOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]").config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+
+  test("SimHash64 expression == TextOps.simhash64, inside codegen") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox", "ich weiß nicht",
+      "a", "", "x  y\tz", "ſchoͤne Graphen")
+    val df = texts.toDF("t")
+      .select($"t", SimHash64.simhash64($"t").as("h"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    texts.foreach { t =>
+      assert(got(t) == TextOps.simhash64(t), s"text <$t>")
+    }
+    // over a real scan the expression stays inside whole-stage codegen
+    // (no serde boundary — unlike the typed-map variant)
+    val scan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(SimHash64.simhash64($"text").as("h"))
+    // "*(n)" is the WholeStageCodegen stage marker in plan strings
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [simhash64("), plan)
+    assert(!plan.contains("DeserializeToObject"), plan)
+    assert(scan.count() > 0)
+  }
+
+  test("SimHash64 handles nulls") {
+    import spark.implicits._
+    val df = Seq(Some("abc"), None).toDF("t")
+      .select(SimHash64.simhash64($"t").as("h"))
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+  }
+}
