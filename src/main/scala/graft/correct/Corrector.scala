@@ -62,6 +62,49 @@ object CompiledModel {
     CompiledModel(errorFst.map(_.arcSort),
       windowFstFrom(lexiconFst, wordsPerWindow),
       pruningWeight, rejectionWeight, 2, wordsPerWindow)
+
+  /** Distributed training: the counting passes (lexicon C2, confusion
+    * D1) run as Spark hash aggregations over the full pair table; only
+    * the AGGREGATED dicts (bounded: vocabulary / confusion-type sized)
+    * are collected for the driver-side FST compile — the shape that
+    * holds at 100 TB (SURVEY.md §3.2). */
+  def trainSpark(spark: org.apache.spark.sql.SparkSession,
+      pairs: org.apache.spark.sql.Dataset[(String, String)],
+      wordlist: Map[String, Long] = Map.empty,
+      maxContext: Int = 3, maxErrors: Int = 3,
+      wordsPerWindow: Int = 3,
+      pruningWeight: Double = 5.0,
+      rejectionWeight: Double = 1.5): CompiledModel = {
+    import spark.implicits._
+    // C2: distributed lexicon counts over GT lines
+    val lexRows = pairs.map(_._2).flatMap(LexiconBuilder.lineEmissions)
+      .groupByKey { case (c, t, _) => (c, t) }
+      .mapValues(_._3).reduceGroups(_ + _)
+      .map { case ((c, t), f) => (c, t, f) }
+      .collect()
+    val withWordlist = lexRows ++
+      wordlist.map { case (w, f) => (graft.train.Category.Words, w, f) }
+    def cat(c: String): Map[String, Long] =
+      withWordlist.filter(_._1 == c).groupBy(_._2)
+        .map { case (t, rows) => t -> rows.map(_._3).sum }
+    val lexicon = Lexicon(cat(graft.train.Category.OpeningBracket),
+      cat(graft.train.Category.ClosingBracket),
+      cat(graft.train.Category.Punctuation), cat(graft.train.Category.Words))
+    val lexFst = LexiconBuilder.lexiconToFst(lexicon)
+    // D1: distributed confusion n-gram counts
+    val confRows = pairs.flatMap { case (ocr, gt) =>
+      ErrorModelTrainer.confusionEmissions(ocr, gt, maxContext)
+    }.groupByKey(identity).count().collect()
+    val byN: Map[Int, Map[(String, String), Long]] =
+      (1 to maxContext).map { n =>
+        n -> confRows.collect { case ((`n`, r, g), c) => ((r, g), c) }.toMap
+      }.toMap
+    val singles = (1 to maxContext).map(n =>
+      ErrorModelTrainer.compileSingle(byN(n)))
+    val errorFst = ErrorModelTrainer.combineErrorTransducers(singles, maxErrors)
+    CompiledModel(Some(errorFst), windowFstFrom(lexFst, wordsPerWindow),
+      pruningWeight, rejectionWeight, 2, wordsPerWindow)
+  }
 }
 
 /** Memo for per-window hypothesis sets: the correction is a pure

@@ -40,9 +40,10 @@ object Queries {
   def modelFor(s: SparkSession, dir: String): CompiledModel =
     modelCache.computeIfAbsent(dir, _ => {
       import s.implicits._
-      val pairs = pairsDf(s, dir).select($"ocr", $"gt").as[(String, String)]
-        .limit(300).collect() // bounded driver-side training set
-      CompiledModel.train(pairs.toSeq)
+      // fully distributed counting passes; only aggregated dicts reach
+      // the driver (CompiledModel.trainSpark — the 100 TB shape)
+      CompiledModel.trainSpark(s,
+        pairsDf(s, dir).select($"ocr", $"gt").as[(String, String)])
     })
 
   // ------------------------------------------------------------ A/B/C: sources + lexicon
