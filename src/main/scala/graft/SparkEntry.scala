@@ -29,6 +29,7 @@ object SparkEntry {
     "q_token_counts" -> (Queries.qTokenCounts(_, _)),
     "q_lexicon_counts" -> (Queries.qLexiconCounts(_, _)),
     "q_lexicon_weights" -> (Queries.qLexiconWeights(_, _)),
+    "q_training_join" -> (Queries.qTrainingJoin(_, _)),
     // training: error model (D rows)
     "q_confusion_counts" -> (Queries.qConfusionCounts(_, _)),
     // training: ST/ngram stats (E rows)

@@ -81,6 +81,32 @@ object CorrectionJob {
     }
   }
 
+  /** LM-rescored path (G7): each doc is a sequential fold — lines share
+    * LM state in offset order — while docs stay embarrassingly parallel
+    * (the wrapper's page-at-a-time traceback threading, SURVEY.md §3.3).
+    */
+  def correctDocsLm(docs: Dataset[Doc], bc: Broadcast[CompiledModel],
+      bcLm: Broadcast[graft.correct.LmScorer],
+      lmWeight: Double = 0.5, beamWidth: Int = 100,
+      metrics: Option[Metrics] = None,
+      saltPartitions: Option[Int] = None): Dataset[Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val input = saltPartitions match {
+      case Some(p) => docs.repartition(p, xxhash64($"doc_id"))
+      case None    => docs
+    }
+    input.mapPartitions { it =>
+      val m = bc.value
+      val lm = bcLm.value
+      val cache = graft.correct.SharedWindowCache.forModel(m)
+      it.map { d =>
+        metrics.foreach(_.docs.add(1))
+        graft.correct.LmDecoder.correctDocLm(d, m, lm, lmWeight, beamWidth, cache)
+      }
+    }
+  }
+
   /** Skew-splitting path: docs with more than `chunkSize` spans are
     * split into chunks, corrected in parallel, and reassembled by
     * doc_id with span order restored via offset sort. Costs one extra

@@ -80,6 +80,15 @@ object Oracles {
       |  CAST(row_number() OVER (ORDER BY (length(gram) <= 1) DESC, cnt DESC, gram ASC) AS INTEGER) AS rank
       |FROM counts QUALIFY rank <= 200 ORDER BY rank""".stripMargin
 
+  val qTrainingJoin: String =
+    """WITH ocr AS (
+      |  SELECT doc_id AS line_id, replace(text, 'ch', 'h') AS ocr
+      |  FROM documents WHERE doc_id % 3 <> 0
+      |), gt AS (SELECT doc_id AS line_id, text AS gt FROM documents)
+      |SELECT ocr.line_id, ocr.ocr, gt.gt, (ocr.ocr = gt.gt) AS unchanged
+      |FROM ocr JOIN gt ON ocr.line_id = gt.line_id
+      |ORDER BY ocr.line_id""".stripMargin
+
   val qCerLev: String =
     """WITH t AS (SELECT text, replace(replace(text, 'a', 'o'), 'r', 'n') AS ocr FROM documents)
       |SELECT CAST(sum(levenshtein(ocr, text)) AS BIGINT) AS edits,
@@ -166,6 +175,7 @@ object Oracles {
     "q_ngram_topk" -> qNgramTopk,
     "q_st_ngrams" -> qStNgrams,
     "q_cer_lev" -> qCerLev,
+    "q_training_join" -> qTrainingJoin,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_ngram_jaccard" -> qNgramJaccard,

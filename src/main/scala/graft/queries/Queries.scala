@@ -81,6 +81,22 @@ object Queries {
       .orderBy($"token")
   }
 
+  /** 1.2: the training inner join on line id (scripts/train.py:119-130;
+    * the reference's only join shape). GT side is the dimension —
+    * broadcast when small; Catalyst/AQE picks SMJ at scale. */
+  def qTrainingJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ocr = docsDf(s, dir)
+      .select($"doc_id".as("line_id"),
+        regexp_replace($"text", "ch", "h").as("ocr"))
+      .where($"line_id" % 3 =!= 0) // partial OCR coverage: exercise inner-join drops
+    val gt = docsDf(s, dir)
+      .select($"doc_id".as("line_id"), $"text".as("gt"))
+    ocr.join(broadcast(gt), Seq("line_id"), "inner")
+      .select($"line_id", $"ocr", $"gt", ($"ocr" === $"gt").as("unchanged"))
+      .orderBy($"line_id")
+  }
+
   // ------------------------------------------------------------ E: ngram stats
 
   /** E1/E3: char-trigram top-k (deterministic total order). */

@@ -65,6 +65,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("LM-rescored job equals the per-doc sequential fold") {
+    val docs = DocGen.docs(spark, 20, seed = 9L, partitions = 4)
+    val lm = graft.correct.CharNgramLm.train(
+      graft.Fixtures.trainingPairs.map(_._2), n = 4)
+    val bc = CorrectionJob.broadcastModel(spark, model)
+    val bcLm = spark.sparkContext
+      .broadcast(lm: graft.correct.LmScorer)
+    val got = CorrectionJob.correctDocsLm(docs, bc, bcLm,
+      saltPartitions = Some(4)).collect().sortBy(_.doc_id).toSeq
+    val expected = docs.collect().sortBy(_.doc_id).toSeq
+      .map(d => graft.correct.LmDecoder.correctDocLm(d, model, lm))
+    assert(got == expected)
+    // media untouched, order preserved
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g.spans.map(s => (s.kind, s.media_ref, s.offset)) ==
+        e.spans.map(s => (s.kind, s.media_ref, s.offset)))
+    }
+  }
+
   test("bucketed write commits manifests; resume completes and matches one-shot") {
     val base = Files.createTempDirectory("graft-io").toString
     val docs = DocGen.docs(spark, 60, seed = 3L, partitions = 4)
