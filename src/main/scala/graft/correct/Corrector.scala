@@ -36,7 +36,9 @@ object CompiledModel {
       if (wordsPerWindow == 1) lexiconFst
       else lexiconFst.concat(Wfst.acceptor(" "))
         .closure(0, wordsPerWindow - 1).concat(lexiconFst)
-    w.rmEpsilon.arcSort
+    // glue eps arcs kept (compose handles right-side eps); rmEpsilon on
+    // a large lexicon trie would copy the root fan-out into every leaf
+    w.arcSort
   }
 
   /** Driver-side compile from training pairs + optional wordlist —

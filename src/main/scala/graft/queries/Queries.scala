@@ -40,10 +40,14 @@ object Queries {
   def modelFor(s: SparkSession, dir: String): CompiledModel =
     modelCache.computeIfAbsent(dir, _ => {
       import s.implicits._
-      // fully distributed counting passes; only aggregated dicts reach
-      // the driver (CompiledModel.trainSpark — the 100 TB shape)
+      // distributed counting passes; only aggregated dicts reach the
+      // driver (CompiledModel.trainSpark — the 100 TB shape). The
+      // training sample is bounded: error models come from curated GT
+      // sets (the synthetic perturbations here are uniformly random, so
+      // an unbounded sample densifies the confusion table far beyond
+      // real OCR and only slows the cascade down).
       CompiledModel.trainSpark(s,
-        pairsDf(s, dir).select($"ocr", $"gt").as[(String, String)])
+        pairsDf(s, dir).select($"ocr", $"gt").as[(String, String)].limit(500))
     })
 
   // ------------------------------------------------------------ A/B/C: sources + lexicon

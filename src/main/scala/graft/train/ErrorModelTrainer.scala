@@ -146,7 +146,12 @@ object ErrorModelTrainer {
     require(transducers.nonEmpty)
     val oneError = transducers.reduce(_ union _)
     Wfst.sigmaStar.concat(oneError).closure(0, maxErrors)
-      .concat(Wfst.sigmaStar).rmEpsilon.arcSort
+      // eps:eps glue arcs KEPT, as in the reference (no rmepsilon at
+      // lib/error_simp.py:287-300): compose treats them as right-alone
+      // moves; removing them explodes the machine quadratically at real
+      // vocabulary sizes (measured 204M arcs on the sf0.1 confusions —
+      // every chain leaf's eps-closure copies every hub's fan-out)
+      .concat(Wfst.sigmaStar).arcSort
   }
 
   /** End-to-end simple-model training from line pairs
