@@ -175,11 +175,17 @@ object Corrector {
     * rejection_weight*(len+2) (the naive OOV model, :56-66). */
   def processWindow(inputStr: String, model: CompiledModel): Wfst = {
     var w = Wfst.acceptor(inputStr)
-    val cascade = model.errorFst.toSeq :+ model.windowFst
-    for (fst <- cascade) {
-      w = w.compose(fst).projectOutput
+    // error-model step: the Σ* identity path guarantees a 0-weight
+    // accepting path, so weight-bounded composition at the pruning
+    // threshold is EXACTLY compose-then-prune — the beam applies during
+    // the search instead of after it (dense confusion tables would
+    // otherwise explode the product before prune sees it)
+    for (fst <- model.errorFst) {
+      w = w.composeBounded(fst, model.pruningWeight).projectOutput
         .prune(model.pruningWeight).rmEpsilon
     }
+    w = w.compose(model.windowFst).projectOutput
+      .prune(model.pruningWeight).rmEpsilon
     if (!inputStr.contains(' ')) {
       val len = inputStr.codePointCount(0, inputStr.length)
       w = w.union(Wfst.acceptor(inputStr,

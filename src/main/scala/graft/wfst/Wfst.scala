@@ -632,6 +632,126 @@ final class Wfst private (
       fs.map(_._1).toArray, fs.map(_._2).toArray).connect
   }
 
+  /** Weight-bounded composition: like `compose`, but product states are
+    * only expanded along prefixes of weight <= maxWeight (SPFA-style
+    * relaxation: a state is re-expanded when a cheaper prefix is found,
+    * so no state reachable within the bound is missed).
+    *
+    * EXACTLY equivalent to compose-then-prune(maxWeight) whenever the
+    * composed machine has a 0-weight accepting path — true for the
+    * error-model step of the cascade (the Σ* identity path): every
+    * surviving path has total <= 0 + maxWeight, and with non-negative
+    * weights all its prefixes are <= maxWeight too. This is the
+    * beam-during-search that keeps dense error models (10^4+ confusion
+    * types) from exploding the per-window product. */
+  def composeBounded(that: Wfst, maxWeight: Double): Wfst = {
+    if (this.numStates == 0 || that.numStates == 0) return Wfst.emptyFst
+    val lim = maxWeight + 1e-9
+    val stateIds = new LongIntMap(64)
+    var pairA = new Array[Int](64)
+    var pairB = new Array[Int](64)
+    var dist = new Array[Double](64)
+    var nStates = 0
+    def id(p: Int, q: Int): Int = {
+      val k = p.toLong << 32 | (q.toLong & 0xffffffffL)
+      val existing = stateIds.getOrElse(k, -1)
+      if (existing >= 0) existing
+      else {
+        if (nStates == pairA.length) {
+          pairA = java.util.Arrays.copyOf(pairA, nStates << 1)
+          pairB = java.util.Arrays.copyOf(pairB, nStates << 1)
+          dist = java.util.Arrays.copyOf(dist, nStates << 1)
+        }
+        pairA(nStates) = p; pairB(nStates) = q
+        dist(nStates) = Double.PositiveInfinity
+        stateIds.put(k, nStates)
+        nStates += 1
+        nStates - 1
+      }
+    }
+    // arcs collected per product state (re-expansion overwrites)
+    val arcsOf = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Arc]]
+    def arcBuf(s: Int): mutable.ArrayBuffer[Arc] = {
+      while (arcsOf.length <= s) arcsOf += null
+      arcsOf(s)
+    }
+    val s0 = id(this.start, that.start)
+    dist(s0) = 0.0
+    val queue = mutable.ArrayDeque(s0)
+    val inQueue = mutable.HashSet(s0)
+    while (queue.nonEmpty) {
+      val cur = queue.removeHead()
+      inQueue.remove(cur)
+      val d0 = dist(cur)
+      val p = pairA(cur); val q = pairB(cur)
+      val buf = new mutable.ArrayBuffer[Arc](4)
+      while (arcsOf.length <= cur) arcsOf += null
+      arcsOf(cur) = buf
+      def emit(il2: Int, ol2: Int, w: Double, dp: Int, dq: Int): Unit = {
+        val nd = d0 + w
+        if (nd <= lim) {
+          val t = id(dp, dq)
+          buf += Arc(il2, ol2, w, t)
+          if (nd < dist(t) - 1e-15) {
+            dist(t) = nd
+            if (!inQueue.contains(t)) { inQueue += t; queue.append(t) }
+          }
+        }
+      }
+      val bLo = that.off(q); val bHi = that.off(q + 1)
+      var sigmaEnd = bLo
+      while (sigmaEnd < bHi && that.il(sigmaEnd) < Label.Eps) sigmaEnd += 1
+      var be = sigmaEnd
+      while (be < bHi && that.il(be) == Label.Eps) {
+        emit(Label.Eps, that.ol(be), that.wt(be), p, that.ds(be))
+        be += 1
+      }
+      var ka = this.off(p)
+      val kaHi = this.off(p + 1)
+      while (ka < kaHi) {
+        val aol = this.ol(ka)
+        if (aol == Label.Eps) {
+          emit(this.il(ka), Label.Eps, this.wt(ka), this.ds(ka), q)
+        } else {
+          var lo = be; var hi = bHi
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (that.il(mid) < aol) lo = mid + 1 else hi = mid
+          }
+          var j = lo
+          while (j < bHi && that.il(j) == aol) {
+            emit(this.il(ka), that.ol(j), this.wt(ka) + that.wt(j),
+              this.ds(ka), that.ds(j))
+            j += 1
+          }
+          var si = bLo
+          while (si < sigmaEnd) {
+            val o2 = if (that.ol(si) == Label.Sigma) aol else that.ol(si)
+            emit(this.il(ka), o2, this.wt(ka) + that.wt(si),
+              this.ds(ka), that.ds(si))
+            si += 1
+          }
+        }
+        ka += 1
+      }
+    }
+    val perState = Array.tabulate(nStates) { s =>
+      if (s < arcsOf.length && arcsOf(s) != null) arcsOf(s).toArray
+      else Array.empty[Arc]
+    }
+    val fin = mutable.HashMap.empty[Int, Double]
+    var i = 0
+    while (i < nStates) {
+      val wa = this.finalWeight(pairA(i))
+      if (!wa.isInfinity) {
+        val wb = that.finalWeight(pairB(i))
+        if (!wb.isInfinity) fin(i) = wa + wb
+      }
+      i += 1
+    }
+    Wfst(0, fin.toMap, perState).connect
+  }
+
   // ---------------------------------------------------------------- decoding
 
   /** Single shortest path, tropical Viterbi (pynini `shortestpath`,
