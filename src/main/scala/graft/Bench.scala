@@ -26,7 +26,7 @@ object Bench {
     * correction map dominates; returns (textSpans, seconds). */
   def correctionThroughput(spark: SparkSession, model: CompiledModel,
       nDocs: Long, cpus: Int, seed: Long = 42L,
-      diverse: Boolean = false): (Long, Double) = {
+      diverse: Boolean = false, useCache: Boolean = true): (Long, Double) = {
     // 4 task waves per core: straggler/skew smoothing (a single wave of
     // exactly-`cpus` tasks is gated by its slowest task)
     val partitions = cpus * 4
@@ -37,7 +37,7 @@ object Bench {
     val metrics = graft.pipeline.Metrics(spark)
     val (_, sec) = time {
       CorrectionJob.correctDocs(docs, bc, Some(metrics),
-        saltPartitions = Some(partitions))
+        saltPartitions = Some(partitions), useCache = useCache)
         .foreachPartition((it: Iterator[graft.pipeline.Doc]) =>
           it.foreach(_ => ())) // drain: forces the lazy correction map
     }

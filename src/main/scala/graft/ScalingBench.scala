@@ -23,10 +23,11 @@ object ScalingBench {
     val model = Bench.fixtureModel()
     try {
       Bench.correctionThroughput(spark, model, math.max(nDocs / 10, 100),
-        cpus, seed = 99L, diverse = true) // warmup (JIT + broadcast)
+        cpus, seed = 99L, diverse = true, useCache = false) // warmup (JIT + broadcast)
       val reps = Seq(1L, 2L, 3L).map { sd =>
         val (spans, sec) =
-          Bench.correctionThroughput(spark, model, nDocs, cpus, sd, diverse = true)
+          Bench.correctionThroughput(spark, model, nDocs, cpus, sd,
+            diverse = true, useCache = false)
         (spans, spans / sec)
       }
       val best = reps.maxBy(_._2)

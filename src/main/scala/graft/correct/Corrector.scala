@@ -141,23 +141,35 @@ final class WindowCache(maxEntries: Int = 50000) extends AltCache {
   * (lock-free reads keep serving the hot head of the Zipf curve). */
 object SharedWindowCache {
   import java.util.concurrent.ConcurrentHashMap
+  import java.util.concurrent.atomic.AtomicLong
+  private final class Entry(
+      val chm: ConcurrentHashMap[String, Seq[Alt]],
+      val approxSize: AtomicLong)
   private val perModel = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[CompiledModel, ConcurrentHashMap[String, Seq[Alt]]]())
-  private val MaxEntries = 2000000
+    new java.util.WeakHashMap[CompiledModel, Entry]())
+  private val MaxEntries = 2000000L
 
   def forModel(m: CompiledModel): AltCache = {
-    val chm = perModel.synchronized {
+    val e = perModel.synchronized {
       var v = perModel.get(m)
-      if (v == null) { v = new ConcurrentHashMap[String, Seq[Alt]](1 << 16); perModel.put(m, v) }
+      if (v == null) {
+        v = new Entry(new ConcurrentHashMap[String, Seq[Alt]](1 << 16),
+          new AtomicLong(0L))
+        perModel.put(m, v)
+      }
       v
     }
     new AltCache {
       def getOrCompute(key: String)(f: => Seq[Alt]): Seq[Alt] = {
-        val v = chm.get(key)
+        val v = e.chm.get(key)
         if (v != null) v
         else {
           val r = f
-          if (chm.size() < MaxEntries) chm.put(key, r)
+          // approx counter instead of CHM.size(): size() traverses all
+          // bins and was measured to serialize 32 miss-heavy threads
+          if (e.approxSize.get() < MaxEntries) {
+            if (e.chm.put(key, r) == null) e.approxSize.incrementAndGet()
+          }
           r
         }
       }

@@ -64,7 +64,8 @@ object CorrectionJob {
     * then a pure map over docs. */
   def correctDocs(docs: Dataset[Doc], bc: Broadcast[CompiledModel],
       metrics: Option[Metrics] = None,
-      saltPartitions: Option[Int] = None): Dataset[Doc] = {
+      saltPartitions: Option[Int] = None,
+      useCache: Boolean = true): Dataset[Doc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val input = saltPartitions match {
@@ -73,7 +74,10 @@ object CorrectionJob {
     }
     input.mapPartitions { it =>
       val m = bc.value
-      val cache = graft.correct.SharedWindowCache.forModel(m)
+      // useCache=false is the bench's controlled miss-path measurement
+      // (the 10^12-doc regime where window diversity dwarfs any cache)
+      val cache =
+        if (useCache) graft.correct.SharedWindowCache.forModel(m) else null
       it.map { d =>
         metrics.foreach(_.docs.add(1))
         Doc(d.doc_id, d.spans.map(correctSpan(_, m, metrics, cache)))

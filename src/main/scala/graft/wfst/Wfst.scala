@@ -669,12 +669,18 @@ final class Wfst private (
         nStates - 1
       }
     }
-    // arcs collected per product state (re-expansion overwrites)
-    val arcsOf = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Arc]]
-    def arcBuf(s: Int): mutable.ArrayBuffer[Arc] = {
-      while (arcsOf.length <= s) arcsOf += null
-      arcsOf(s)
-    }
+    // arcs in a primitive sink; per-state (start,len) ranges — a
+    // re-expansion appends a fresh range and repoints (stale ranges are
+    // skipped in the final copy). No per-arc object allocation.
+    val sink = new ArcSink(256)
+    var rangeStart = new Array[Int](64)
+    var rangeLen = new Array[Int](64)
+    def ensureRange(s: Int): Unit =
+      if (s >= rangeStart.length) {
+        val c = math.max(rangeStart.length << 1, s + 1)
+        rangeStart = java.util.Arrays.copyOf(rangeStart, c)
+        rangeLen = java.util.Arrays.copyOf(rangeLen, c)
+      }
     val s0 = id(this.start, that.start)
     dist(s0) = 0.0
     val queue = mutable.ArrayDeque(s0)
@@ -684,14 +690,15 @@ final class Wfst private (
       inQueue.remove(cur)
       val d0 = dist(cur)
       val p = pairA(cur); val q = pairB(cur)
-      val buf = new mutable.ArrayBuffer[Arc](4)
-      while (arcsOf.length <= cur) arcsOf += null
-      arcsOf(cur) = buf
+      ensureRange(cur)
+      rangeStart(cur) = sink.n
+      var emitted = 0
       def emit(il2: Int, ol2: Int, w: Double, dp: Int, dq: Int): Unit = {
         val nd = d0 + w
         if (nd <= lim) {
           val t = id(dp, dq)
-          buf += Arc(il2, ol2, w, t)
+          sink.add(il2, ol2, w, t)
+          emitted += 1
           if (nd < dist(t) - 1e-15) {
             dist(t) = nd
             if (!inQueue.contains(t)) { inQueue += t; queue.append(t) }
@@ -734,22 +741,45 @@ final class Wfst private (
         }
         ka += 1
       }
+      rangeLen(cur) = emitted
     }
-    val perState = Array.tabulate(nStates) { s =>
-      if (s < arcsOf.length && arcsOf(s) != null) arcsOf(s).toArray
-      else Array.empty[Arc]
+    // assemble CSR from the live ranges
+    val nOff = new Array[Int](nStates + 1)
+    var s = 0
+    while (s < nStates) {
+      nOff(s + 1) = nOff(s) + (if (s < rangeLen.length) rangeLen(s) else 0)
+      s += 1
     }
-    val fin = mutable.HashMap.empty[Int, Double]
+    val m = nOff(nStates)
+    val nIl = new Array[Int](m); val nOl = new Array[Int](m)
+    val nWt = new Array[Double](m); val nDs = new Array[Int](m)
+    s = 0
+    while (s < nStates) {
+      if (s < rangeLen.length) {
+        var src = rangeStart(s)
+        var dst = nOff(s)
+        val end = src + rangeLen(s)
+        while (src < end) {
+          nIl(dst) = sink.il(src); nOl(dst) = sink.ol(src)
+          nWt(dst) = sink.wt(src); nDs(dst) = sink.ds(src)
+          src += 1; dst += 1
+        }
+      }
+      s += 1
+    }
+    val fb = mutable.ArrayBuffer.empty[(Int, Double)]
     var i = 0
     while (i < nStates) {
       val wa = this.finalWeight(pairA(i))
       if (!wa.isInfinity) {
         val wb = that.finalWeight(pairB(i))
-        if (!wb.isInfinity) fin(i) = wa + wb
+        if (!wb.isInfinity) fb += ((i, wa + wb))
       }
       i += 1
     }
-    Wfst(0, fin.toMap, perState).connect
+    val fs = fb.sortBy(_._1)
+    new Wfst(0, nStates, nOff, nIl, nOl, nWt, nDs,
+      fs.map(_._1).toArray, fs.map(_._2).toArray).connect
   }
 
   // ---------------------------------------------------------------- decoding
