@@ -40,7 +40,8 @@ object TableIO {
     * bucket manifests. */
   def writeDocs(docs: Dataset[Doc], path: String, buckets: Int = 32,
       attemptId: String = "attempt-0",
-      failAfterBuckets: Option[Int] = None): Seq[BucketManifest] = {
+      failAfterBuckets: Option[Int] = None,
+      metrics: Option[Metrics] = None): Seq[BucketManifest] = {
     val spark = docs.sparkSession
     import spark.implicits._
     Files.createDirectories(manifestDir(path))
@@ -94,8 +95,14 @@ object TableIO {
     val snapN = Files.list(Paths.get(path)).iterator().asScala
       .count(_.getFileName.toString.startsWith("_snapshot-"))
     val all = committedBuckets(path).toSeq.sorted
+    // job metrics ride the snapshot (the Iceberg snapshot-summary analogue)
+    val metricsJson = metrics.map { m =>
+      s""","metrics":{"docs":${m.docs.value},"textSpans":${m.textSpans.value},""" +
+        s""""mediaSpans":${m.mediaSpans.value},"spansChanged":${m.spansChanged.value},""" +
+        s""""chars":${m.chars.value}}"""
+    }.getOrElse("")
     Files.writeString(Paths.get(path, s"_snapshot-$snapN.json"),
-      s"""{"snapshot":$snapN,"attempt":"$attemptId","buckets":[${all.mkString(",")}]}""")
+      s"""{"snapshot":$snapN,"attempt":"$attemptId","buckets":[${all.mkString(",")}]$metricsJson}""")
     committed.toSeq
   }
 

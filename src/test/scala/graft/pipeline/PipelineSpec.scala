@@ -109,6 +109,17 @@ class PipelineSpec extends AnyFunSuite {
 
     // fully-committed table: a re-run is a no-op
     assert(TableIO.writeDocs(docs, p2, buckets = 8, attemptId = "attempt-2").isEmpty)
+
+    // metrics ride the snapshot (end-to-end corrected write)
+    val p3 = s"$base/with-metrics"
+    val bc = CorrectionJob.broadcastModel(spark, model)
+    val mx = Metrics(spark)
+    val corrected = CorrectionJob.correctDocs(docs, bc, Some(mx))
+    TableIO.writeDocs(corrected, p3, buckets = 4, metrics = Some(mx))
+    val snap = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(p3, "_snapshot-0.json"))
+    assert(snap.contains("\"metrics\""))
+    assert(snap.contains("\"textSpans\""))
   }
 
   private object Files {
