@@ -683,11 +683,27 @@ final class Wfst private (
       }
     val s0 = id(this.start, that.start)
     dist(s0) = 0.0
-    val queue = mutable.ArrayDeque(s0)
-    val inQueue = mutable.HashSet(s0)
-    while (queue.nonEmpty) {
-      val cur = queue.removeHead()
-      inQueue.remove(cur)
+    // primitive FIFO + membership flags (no boxing on the hot path)
+    var queue = new Array[Int](256)
+    var qHead = 0; var qTail = 0
+    var inQueue = new Array[Boolean](64)
+    def push(t: Int): Unit = {
+      if (qTail == queue.length) {
+        if (qHead > (queue.length >> 1)) { // compact
+          System.arraycopy(queue, qHead, queue, 0, qTail - qHead)
+          qTail -= qHead; qHead = 0
+        } else queue = java.util.Arrays.copyOf(queue, queue.length << 1)
+      }
+      queue(qTail) = t; qTail += 1
+    }
+    def ensureFlags(s: Int): Unit =
+      if (s >= inQueue.length)
+        inQueue = java.util.Arrays.copyOf(inQueue,
+          math.max(inQueue.length << 1, s + 1))
+    inQueue(s0) = true; push(s0)
+    while (qHead < qTail) {
+      val cur = queue(qHead); qHead += 1
+      inQueue(cur) = false
       val d0 = dist(cur)
       val p = pairA(cur); val q = pairB(cur)
       ensureRange(cur)
@@ -701,7 +717,8 @@ final class Wfst private (
           emitted += 1
           if (nd < dist(t) - 1e-15) {
             dist(t) = nd
-            if (!inQueue.contains(t)) { inQueue += t; queue.append(t) }
+            ensureFlags(t)
+            if (!inQueue(t)) { inQueue(t) = true; push(t) }
           }
         }
       }
