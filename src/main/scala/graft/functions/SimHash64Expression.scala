@@ -30,6 +30,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
+  /** Token separator set = Java regex \s ([ \t\n\f\r]) — the SAME
+    * set TextOps.simhash64 splits on (and RE2/DuckDB's \s, so the DuckDB
+    * oracle tokenizes identically). Character.isWhitespace is broader
+    * (U+1680, U+2000-200A, U+2028/29, ...) and would diverge. */
+  @inline private def isSep(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** Static helper invoked from generated code (the pattern of Spark's
     * own Md5/XxHash expressions: codegen emits a direct static call). */
   def hash(s: UTF8String): Long = {
@@ -40,7 +47,7 @@ object SimHash64 {
     var i = 0
     val len = str.length
     while (i <= len) {
-      if (i == len || Character.isWhitespace(str.charAt(i))) {
+      if (i == len || isSep(str.charAt(i))) {
         if (i > start) {
           val h = md.digest(str.substring(start, i)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))

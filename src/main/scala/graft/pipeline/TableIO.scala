@@ -29,11 +29,15 @@ object TableIO {
   def committedBuckets(path: String): Set[Int] = {
     val dir = manifestDir(path)
     if (!Files.exists(dir)) Set.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
-        s.stripPrefix("bucket-").stripSuffix(".json").toInt
-      }.toSet
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
+          s.stripPrefix("bucket-").stripSuffix(".json").toInt
+        }.toSet
+      finally stream.close()
+    }
   }
 
   /** Bucketed, idempotent, resumable write. Returns newly committed
@@ -50,15 +54,19 @@ object TableIO {
     val pending = (0 until buckets).filterNot(done.contains)
     if (pending.isEmpty) return Seq.empty
 
+    // persisted: the parquet write and the lineage-stats aggregation both
+    // consume this Dataset — without the persist the upstream correction
+    // job (and its accumulators) would run twice, double-counting metrics
     val withBucket = docs
       .withColumn("bucket", pmod(xxhash64($"doc_id"), lit(buckets)).cast("int"))
       .where($"bucket".isin(pending: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tmp = Paths.get(path, s"_tmp_$attemptId")
     withBucket.write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(tmp.toString)
 
-    // per-bucket lineage stats (second scan of the source; at real
-    // cluster scale these come from task-side commit messages instead)
+    // per-bucket lineage stats (second pass over the persisted rows; at
+    // real cluster scale these come from task-side commit messages instead)
     val stats = withBucket
       .select($"bucket", $"doc_id", size($"spans").as("ns"),
         xxhash64($"doc_id", to_json($"spans")).as("h"))
@@ -70,6 +78,7 @@ object TableIO {
       .map(r => r.getInt(0) -> BucketManifest(r.getInt(0), r.getLong(1),
         r.getLong(2), r.getString(3), r.getString(4), r.getLong(5), attemptId))
       .toMap
+    withBucket.unpersist(blocking = false)
 
     val committed = scala.collection.mutable.ArrayBuffer.empty[BucketManifest]
     for (b <- pending) {
@@ -92,8 +101,11 @@ object TableIO {
       }
     }
     deleteRecursively(tmp)
-    val snapN = Files.list(Paths.get(path)).iterator().asScala
-      .count(_.getFileName.toString.startsWith("_snapshot-"))
+    val rootStream = Files.list(Paths.get(path))
+    val snapN =
+      try rootStream.iterator().asScala
+        .count(_.getFileName.toString.startsWith("_snapshot-"))
+      finally rootStream.close()
     val all = committedBuckets(path).toSeq.sorted
     // job metrics ride the snapshot (the Iceberg snapshot-summary analogue)
     val metricsJson = metrics.map { m =>
@@ -119,7 +131,9 @@ object TableIO {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val stream = Files.walk(p)
+      try stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally stream.close()
     }
   }
 }

@@ -46,7 +46,7 @@ object Oracles {
 
   val qLexiconCounts: String =
     s"""$lexiconCtes
-       |SELECT category, token, sum(freq) AS freq
+       |SELECT category, token, CAST(sum(freq) AS BIGINT) AS freq
        |FROM (SELECT * FROM wrows UNION ALL SELECT * FROM brows) allrows
        |GROUP BY category, token ORDER BY category, token""".stripMargin
 

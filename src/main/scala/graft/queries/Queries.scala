@@ -356,9 +356,14 @@ object Queries {
       .toDF("media_ref", "kind", "width", "height", "n_frames")
     val feats = graft.ops.Multimodal.extractFeatures(media, dim = 8)
       .toDF("media_ref", "features")
+    // features emitted as a deterministic string (the driver's rows-only
+    // check sorts/hashes every column via pandas — a raw array column is
+    // unhashable there, CORRECTNESS_r01 q_media_features err)
     decoded.join(feats, "media_ref")
       .select($"media_ref", $"kind", $"width", $"height", $"n_frames",
-        expr("transform(features, x -> round(CAST(x AS DOUBLE), 4))").as("features"))
+        expr("""concat_ws(',', transform(features,
+                 x -> CAST(round(CAST(x AS DOUBLE), 4) AS STRING)))""")
+          .as("features"))
       .orderBy($"media_ref")
   }
 

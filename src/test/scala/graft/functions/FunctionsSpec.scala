@@ -30,6 +30,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(scan.count() > 0)
   }
 
+  test("SimHash64 whitespace set == TextOps (\\s exactly, not isWhitespace)") {
+    import spark.implicits._
+    // exotic whitespace: isWhitespace-only separators (U+1680, U+2000,
+    // U+2028, U+205F, U+3000, U+001C) must NOT split; VT U+000B (in \\s) must
+    val texts = Seq(
+      "a\u1680b", "a\u2000b", "a\u2028b", "a\u205Fb", "a\u3000b",
+      "a\u000Bb", "a\u001Cb", "nbsp\u00A0joined", "mix \u2028 of\u000Bit")
+    val got = texts.toDF("t")
+      .select($"t", SimHash64.simhash64($"t").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    texts.foreach { t =>
+      assert(got(t) == TextOps.simhash64(t),
+        s"text <${t.map(c => f"\\u${c.toInt}%04x").mkString}>")
+    }
+  }
+
   test("SimHash64 handles nulls") {
     import spark.implicits._
     val df = Seq(Some("abc"), None).toDF("t")

@@ -120,6 +120,14 @@ class PipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(p3, "_snapshot-0.json"))
     assert(snap.contains("\"metrics\""))
     assert(snap.contains("\"textSpans\""))
+    // exact VALUES, not just keys: writeDocs persists its input before the
+    // parquet write + stats scans, so the accumulators count each doc ONCE
+    // (an unpersisted input would recompute the correction and double-count)
+    assert(mx.docs.value == 60L, s"docs accumulator = ${mx.docs.value}")
+    val totalSpans = docs.collect().map(_.spans.length.toLong).sum
+    assert(mx.textSpans.value + mx.mediaSpans.value == totalSpans,
+      s"spans ${mx.textSpans.value}+${mx.mediaSpans.value} != $totalSpans")
+    assert(snap.contains(s""""docs":60"""), snap)
   }
 
   private object Files {
