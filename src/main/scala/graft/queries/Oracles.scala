@@ -106,7 +106,8 @@ object Oracles {
       |  FROM documents, LATERAL (SELECT unnest(range(1, length(text)-6)) AS i) u
       |  WHERE length(text) >= 8
       |), sigs AS (
-      |  SELECT b.band AS band, doc_id, min(md5(sh || '#' || CAST(b.band AS VARCHAR))) AS sig
+      |  SELECT b.band AS band, doc_id,
+      |    min(CAST(('0x' || substr(md5(sh || '#' || CAST(b.band AS VARCHAR)), 1, 15)) AS BIGINT)) AS sig
       |  FROM sh, (SELECT unnest([0,1,2,3]) AS band) b
       |  GROUP BY b.band, doc_id
       |)

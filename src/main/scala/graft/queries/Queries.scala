@@ -116,19 +116,37 @@ object Queries {
 
   /** E1-E3: all n-grams (n<=3, spaces included) with counts, plus the
     * select_ngrams rank — all unigrams, then most-frequent higher-order
-    * (deterministic tie-break: count desc, gram asc). */
-  def qStNgrams(s: SparkSession, dir: String): DataFrame = {
+    * (deterministic tie-break: count desc, gram asc).
+    *
+    * rank<=200 under (unigram-first, cnt desc, gram asc) IS the top-200
+    * under that composite order, so it runs as orderBy+limit — a
+    * TakeOrderedAndProject (per-partition top-k, merged on the driver) —
+    * NOT a global row_number window, which would funnel the entire
+    * distinct-gram table through ONE partition at corpus scale. The <=200
+    * survivors are numbered on the driver (the reference's select_ngrams
+    * returns a driver-side list too, lib/error_st.py:42-54). */
+  /** The distributed part of qStNgrams (pre-collect), exposed so the
+    * spec/PlanDump can assert its plan shape (TakeOrderedAndProject, no
+    * window). */
+  def stNgramsTop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = docsDf(s, dir).where(length($"text") >= 1)
+    docsDf(s, dir).where(length($"text") >= 1)
       .select(explode(expr(
         """flatten(transform(sequence(1, length(text)), i ->
              transform(sequence(1, least(3, length(text) - i + 1)), n ->
                substring(text, i, n))))""")).as("gram"))
       .groupBy($"gram").agg(count(lit(1)).as("cnt"))
-    grams.select($"gram", $"cnt",
-      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
-        (length($"gram") <= 1).desc, $"cnt".desc, $"gram".asc)).as("rank"))
-      .where($"rank" <= 200)
+      .orderBy((length($"gram") <= 1).desc, $"cnt".desc, $"gram".asc)
+      .limit(200)
+  }
+
+  def qStNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top = stNgramsTop(s, dir)
+      .as[(String, Long)].collect() // bounded: exactly the <=200 survivors
+    top.zipWithIndex
+      .map { case ((g, c), i) => (g, c, i + 1) }.toSeq
+      .toDF("gram", "cnt", "rank")
       .orderBy($"rank")
   }
 
@@ -236,22 +254,26 @@ object Queries {
       .orderBy($"h")
   }
 
-  /** MinHash/LSH: 4 bands, signature = min(md5(shingle || band)) over
-    * 8-char shingles; bucket sizes per (band, sig). Deterministic via
-    * md5 (identical in Spark and DuckDB). */
+  /** MinHash/LSH: 4 bands, signature = min over shingles of the first 60
+    * bits of md5(shingle || band), as a BIGINT; bucket sizes per
+    * (band, sig). Deterministic and identical in Spark and DuckDB.
+    *
+    * The hash is folded to BIGINT BEFORE the min: min over strings forces
+    * SortAggregate (per-partition sorts on both sides of the shuffle);
+    * min over a fixed-width numeric keeps the partial+final HashAggregate. */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // single scan + single shuffle: all 4 band mins in one hash agg,
     // then stack to long form (vs 4x explode+groupBy — 4 shuffles)
+    def bandSig(b: Int) =
+      min(conv(substring(md5(concat($"sh", lit(s"#$b"))), 1, 15), 16, 10)
+        .cast("long")).as(s"s$b")
     val sh = docsDf(s, dir).where(length($"text") >= 8)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, length(text)-7), i -> substring(text, i, 8))"))
         .as("sh"))
-    val sigs = sh.groupBy($"doc_id").agg(
-      min(md5(concat($"sh", lit("#0")))).as("s0"),
-      min(md5(concat($"sh", lit("#1")))).as("s1"),
-      min(md5(concat($"sh", lit("#2")))).as("s2"),
-      min(md5(concat($"sh", lit("#3")))).as("s3"))
+    val sigs = sh.groupBy($"doc_id")
+      .agg(bandSig(0), bandSig(1), bandSig(2), bandSig(3))
     sigs.select($"doc_id",
         expr("stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (band, sig)"))
       .select($"doc_id", $"band", $"sig")
@@ -262,23 +284,34 @@ object Queries {
 
   /** N-gram Jaccard near-dup: word-trigram shingles, document-frequency
     * cut (<=20 docs per shingle) to bound the candidate join, exact
-    * Jaccard on candidate pairs. */
+    * Jaccard on candidate pairs.
+    *
+    * ONE scan of the source: shingles go straight into a per-shingle
+    * collect_set (dedup happens inside the agg, no separate distinct
+    * shuffle), the result is persisted, and BOTH consumers — per-doc
+    * sizes (explode the doc-sets once more) and candidate pairs — read
+    * the cached aggregate instead of re-deriving it from the raw table
+    * (the round-1 plan scanned+exploded documents 3x). */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = docsDf(s, dir)
+    val docSets = docsDf(s, dir)
       .select($"doc_id", explode(expr(
         """transform(
              sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
              i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))
         .as("sh"))
-      .distinct()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    // df-cut + pair generation WITHOUT a self-join: group docs per
-    // shingle (bounded lists), explode the <=C(20,2) pairs per shingle,
-    // count pair co-occurrences — one shuffle instead of a join that
-    // materializes the shingle table twice
-    val pairs = sh.groupBy($"sh")
-      .agg(collect_list($"doc_id").as("docs"))
+      .groupBy($"sh")
+      .agg(collect_set($"doc_id").as("docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = docSets
+      .select(explode($"docs").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    // df-cut + pair generation WITHOUT a self-join: docs-per-shingle sets
+    // are bounded (<=20), explode the <=C(20,2) pairs per shingle, count
+    // pair co-occurrences. Shingles with df>20 are dropped (standard
+    // near-dup df-cut; at scale, surface the dropped count via an
+    // accumulator on this filter if coverage accounting is needed).
+    val pairs = docSets
       .where(size($"docs").between(2, 20))
       .select(explode(expr(
         """flatten(transform(array_sort(docs), (a, i) ->

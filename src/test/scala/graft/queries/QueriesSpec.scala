@@ -81,6 +81,30 @@ class QueriesSpec extends AnyFunSuite {
       s"expected broadcast join, got:\n$plan")
   }
 
+  test("plan shape: st-ngrams top-k is TakeOrderedAndProject, NOT a global window") {
+    val plan = Queries.stNgramsTop(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator, got:\n$plan")
+    assert(!plan.contains("Window"),
+      s"global row_number window funnels all grams through ONE partition:\n$plan")
+  }
+
+  test("plan shape: minhash signature agg stays a HashAggregate (BIGINT sigs)") {
+    val plan = Queries.qDedupMinhash(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"),
+      s"min over strings degrades to SortAggregate — fold md5 to BIGINT first:\n$plan")
+  }
+
+  test("plan shape: ngram-jaccard reuses the cached shingle aggregate (one source scan)") {
+    val df = Queries.qNgramJaccard(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"sizes and pairs must read the persisted per-shingle aggregate:\n$plan")
+    df.count() // materialize so the cache is populated for the next assertion
+    val cached = spark.sharedState.cacheManager
+    assert(!cached.isEmpty, "expected the per-shingle aggregate to be cached")
+  }
+
   test("plan shape: filter pushdown reaches the parquet scan") {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(s"$sf/documents.parquet")
