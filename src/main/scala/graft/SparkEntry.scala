@@ -2,7 +2,7 @@ package graft
 
 import graft.correct.CompiledModel
 import graft.pipeline.{CorrectionJob, DocGen}
-import graft.queries.{Oracles, Queries}
+import graft.queries.{Analytics, Oracles, Queries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -49,6 +49,11 @@ object SparkEntry {
     "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),
     // training-data pipeline: multimodal plumbing
     "q_media_features" -> (Queries.qMediaFeatures(_, _)),
+    // relational analytics battery (TPC-H-ish tables + events)
+    "q_tpch_pricing" -> (Analytics.qTpchPricing(_, _)),
+    "q_tpch_top_customers" -> (Analytics.qTpchTopCustomers(_, _)),
+    "q_tpch_revenue_rollup" -> (Analytics.qTpchRevenueRollup(_, _)),
+    "q_events_window" -> (Analytics.qEventsWindow(_, _)),
     // training-data pipeline: text analysis
     "q_quality" -> (Queries.qQuality(_, _)),
     "q_token_count_regex" -> (Queries.qTokenCountRegex(_, _)),

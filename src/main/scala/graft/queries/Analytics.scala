@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational analytics battery over the driver's TPC-H-ish tables and
+  * the events table (the reference has no relational workload — SURVEY.md
+  * §2.H — but the engine runs on a general Spark cluster, and these rows
+  * give the gate hard oracle signal for join / partitioned-window /
+  * rollup / time-window shapes; the events query is the batch mirror of
+  * StreamingCorrection.eventWindowAgg).
+  *
+  * Determinism across engines: every money aggregate is folded to integer
+  * CENTS per row BEFORE summing — `CAST(round(x * 100) AS BIGINT)` is a
+  * per-row double op (identical IEEE result in Spark and DuckDB), and
+  * integer sums are order-independent, unlike double sums whose value
+  * depends on partial-aggregation order. Ratios are then derived from the
+  * exact integer sums. */
+object Analytics {
+
+  /** Money column -> integer cents (deterministic per row). */
+  private def cents(colExpr: String) =
+    expr(s"CAST(round(($colExpr) * 100) AS BIGINT)")
+
+  /** TPC-H Q1 shape: pricing summary over lineitem (scan + filter +
+    * 2-key hash agg; partial+final, no joins). */
+  def qTpchPricing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .where($"l_shipdate".cast("date") <= lit("1998-09-02").cast("date"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast("long")).as("sum_qty"),
+        sum(cents("l_extendedprice")).as("sum_base_c"),
+        sum(cents("l_extendedprice * (1 - l_discount)")).as("sum_disc_c"),
+        sum(cents("l_extendedprice * (1 - l_discount) * (1 + l_tax)"))
+          .as("sum_charge_c"),
+        count(lit(1)).as("count_order"))
+      .select($"l_returnflag", $"l_linestatus", $"sum_qty", $"sum_base_c",
+        $"sum_disc_c", $"sum_charge_c", $"count_order",
+        round($"sum_qty" / $"count_order", 6).as("avg_qty"),
+        round($"sum_base_c" / lit(100.0) / $"count_order", 6).as("avg_price"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Top-3 customers by revenue per nation: 3-way join (dimensions
+    * broadcast) + a PARTITIONED window (rank per nation — bounded
+    * partitions, unlike a global window). */
+  def qTpchTopCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = s.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", cents("l_extendedprice * (1 - l_discount)").as("rev_c"))
+    val o = s.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    val c = s.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    val n = s.read.parquet(s"$dir/nation.parquet")
+      .select($"n_nationkey", $"n_name")
+    val rev = l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"c_custkey", $"c_name")
+      .agg(sum($"rev_c").as("revenue_c"))
+    rev.select($"n_name", $"c_custkey", $"c_name", $"revenue_c",
+        rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"n_name")
+          .orderBy($"revenue_c".desc, $"c_custkey".asc)).as("rnk"))
+      .where($"rnk" <= 3)
+      .orderBy($"n_name", $"rnk", $"c_custkey")
+  }
+
+  /** Revenue by region/nation with ROLLUP subtotals (grouping sets over
+    * a 5-way join; 'ALL' labels the rollup levels). */
+  def qTpchRevenueRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = s.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", cents("l_extendedprice * (1 - l_discount)").as("rev_c"))
+    val o = s.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    val c = s.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey", $"c_nationkey")
+    val n = s.read.parquet(s"$dir/nation.parquet")
+      .select($"n_nationkey", $"n_regionkey", $"n_name")
+    val r = s.read.parquet(s"$dir/region.parquet")
+      .select($"r_regionkey", $"r_name")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(sum($"rev_c").as("revenue_c"), count(lit(1)).as("n_items"))
+      .select(coalesce($"r_name", lit("ALL")).as("region"),
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        $"revenue_c", $"n_items")
+      .orderBy($"region", $"nation")
+  }
+
+  /** Batch mirror of the streaming 5-minute window aggregation
+    * (StreamingCorrection.eventWindowAgg): tumbling window per
+    * event_type, epoch-aligned; window start emitted as epoch seconds
+    * (BIGINT) so the value is timezone-free on both engines. */
+  def qEventsWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", $"ts".cast("timestamp")) // NTZ -> LTZ (UTC session)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(cents("value")).as("total_c"))
+      .select(unix_timestamp($"window.start").as("w_start"),
+        $"event_type", $"n", $"total_c")
+      .orderBy($"w_start", $"event_type")
+  }
+}

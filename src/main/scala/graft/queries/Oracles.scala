@@ -169,6 +169,125 @@ object Oracles {
       |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** 64-bit SimHash in SQL: explode (doc, token, bit), vote per bit from
+    * the md5 byte, reassemble the signed 64-bit value (bit 63 as the
+    * two's-complement term). Tokenization = regex \s+, the same set the
+    * Catalyst expression splits on. */
+  val qSimhash: String =
+    """WITH toks AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |    FROM documents) t
+      |  WHERE tok <> ''
+      |), votes AS (
+      |  SELECT doc_id, CAST(b.i AS INTEGER) AS i,
+      |    sum(CASE WHEN ((CAST(('0x' || substr(md5(tok),
+      |            (CAST(b.i AS INTEGER) // 8) * 2 + 1, 2)) AS INTEGER)
+      |          >> (CAST(b.i AS INTEGER) % 8)) & 1) = 1
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM toks, (SELECT unnest(range(0, 64)) AS i) b
+      |  GROUP BY doc_id, b.i
+      |), h AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN v > 0 THEN
+      |      CASE WHEN i = 63 THEN CAST(-9223372036854775807 AS HUGEINT) - 1
+      |           ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT) END
+      |      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(h.simhash, 0) AS simhash
+      |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  val qLangId: String = {
+    val scores = TextOps.langProfiles.toSeq.sortBy(_._1).map {
+      case (lang, grams) => s"${TextOps.langScoreSql("lo", grams)} AS s_$lang"
+    }.mkString(",\n|    ")
+    s"""WITH lo AS (SELECT doc_id, lower(text) AS lo FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM lo
+       |)
+       |SELECT doc_id, ${TextOps.langChooseSql} AS lang_pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  val qAnnLsh: String = {
+    val sig = TextOps.lshSigDuckSql("emb", dim = 64)
+    s"""WITH sigs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), sigd AS (
+       |  SELECT vec_id, emb, $sig AS sig FROM sigs
+       |), q AS (SELECT emb AS qv, sig AS qsig FROM sigd WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  round(list_dot_product(emb, qv)
+       |    / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))), 4) AS cos
+       |FROM sigd, q
+       |WHERE bit_count(xor(CAST(sig AS BIGINT), CAST(qsig AS BIGINT))) <= 6
+       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------- analytics
+  // Money aggregates are integer CENTS (per-row round, then integer sum)
+  // so the values are independent of partial-aggregation order — see
+  // Analytics.scala. DuckDB sums are cast back to BIGINT (HUGEINT
+  // otherwise).
+
+  val qTpchPricing: String =
+    """WITH a AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+      |    count(*) AS count_order
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      |  GROUP BY 1, 2
+      |)
+      |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_c, sum_disc_c,
+      |  sum_charge_c, count_order,
+      |  round(CAST(sum_qty AS DOUBLE) / count_order, 6) AS avg_qty,
+      |  round(CAST(sum_base_c AS DOUBLE) / 100.0 / count_order, 6) AS avg_price
+      |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val qTpchTopCustomers: String =
+    """WITH rev AS (
+      |  SELECT n_name, c_custkey, c_name,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT n_name, c_custkey, c_name, revenue_c, CAST(rnk AS INTEGER) AS rnk
+      |FROM (SELECT *, rank() OVER (PARTITION BY n_name
+      |        ORDER BY revenue_c DESC, c_custkey ASC) AS rnk FROM rev) t
+      |WHERE rnk <= 3 ORDER BY n_name, rnk, c_custkey""".stripMargin
+
+  val qTpchRevenueRollup: String =
+    """WITH j AS (
+      |  SELECT r_name, n_name,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |)
+      |SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |  CAST(sum(rev_c) AS BIGINT) AS revenue_c, count(*) AS n_items
+      |FROM j GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  val qEventsWindow: String =
+    """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_token_counts" -> qTokenCounts,
     "q_lexicon_counts" -> qLexiconCounts,
@@ -181,7 +300,14 @@ object Oracles {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_ann_cosine" -> qAnnCosine,
+    "q_ann_lsh" -> qAnnLsh,
+    "q_simhash" -> qSimhash,
+    "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
+    "q_tpch_pricing" -> qTpchPricing,
+    "q_tpch_top_customers" -> qTpchTopCustomers,
+    "q_tpch_revenue_rollup" -> qTpchRevenueRollup,
+    "q_events_window" -> qEventsWindow,
     "q_token_count_regex" -> qTokenCountRegex,
     "q_fingerprint" -> qFingerprint)
 }

@@ -221,8 +221,31 @@ object Queries {
       .agg(sum($"lev_ocr").as("lev_ocr"), sum($"lev_cor").as("lev_cor"),
         sum($"len_gt").as("len_gt"), round(sum($"adj_ocr"), 4).as("adj_ocr"),
         round(sum($"adj_cor"), 4).as("adj_cor"),
+        sum($"alen_ocr").as("alen_ocr"), sum($"alen_cor").as("alen_cor"),
         sum($"tp").as("tp"), sum($"tn").as("tn"),
         sum($"fp").as("fp"), sum($"fn").as("fn"))
+      // the reference's published aggregates (evaluate.py:288-314):
+      // precision/recall/F1, TPR/FPR/AUC, and the aggregate CER ratios
+      // (Levenshtein and umlaut-adjusted) — pure arithmetic on the sums
+      .withColumn("precision",
+        round(when($"tp" + $"fp" === 0, 1.0)
+          .otherwise($"tp" / ($"tp" + $"fp")), 6))
+      .withColumn("recall",
+        round(when($"tp" + $"fn" === 0, 1.0)
+          .otherwise($"tp" / ($"tp" + $"fn")), 6))
+      .withColumn("f1",
+        round(lit(2) * $"tp" / (lit(2) * $"tp" + $"fp" + $"fn"), 6))
+      .withColumn("tpr", $"recall")
+      .withColumn("fpr",
+        round(when($"fp" + $"tn" === 0, 0.0)
+          .otherwise($"fp" / ($"fp" + $"tn")), 6))
+      .withColumn("auc", round(
+        lit(0.5) * $"tpr" * $"fpr" + $"tpr" * (lit(1) - $"fpr") +
+          lit(0.5) * (lit(1) - $"tpr") * (lit(1) - $"fpr"), 6))
+      .withColumn("cer_ocr", round($"lev_ocr" / $"len_gt", 6))
+      .withColumn("cer_cor", round($"lev_cor" / $"len_gt", 6))
+      .withColumn("adj_cer_ocr", round($"adj_ocr" / $"alen_ocr", 6))
+      .withColumn("adj_cer_cor", round($"adj_cor" / $"alen_cor", 6))
   }
 
   /** B11/B13 flagship: train on the perturbed table, correct it back. */
@@ -354,28 +377,27 @@ object Queries {
       .orderBy(desc("cos"), asc("vec_id")).limit(10)
   }
 
-  /** LSH-bucketed ANN (scale path): random-hyperplane signs from md5 of
-    * (bucket seed, dim) — deterministic; rows-only, equality with
-    * brute force asserted in the spec. */
+  /** LSH-bucketed ANN (scale path): 16-bit random-hyperplane signature
+    * as a codegen'd SQL expression over literal sign vectors (identical
+    * values to TextOps.lshSignature — asserted in the spec). Candidates
+    * within hamming distance 6 of the query signature are then ranked
+    * exactly — at scale the signature prunes ~90% of the table before
+    * any cosine is computed (and would be precomputed + bucketed as a
+    * stored column). The query row is fetched with a pushed-down
+    * vec_id = 0 scan filter and broadcast, like q_ann_cosine. */
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = s.read.parquet(s"$dir/embeddings.parquet")
-      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-    val q = e.filter(_._1 == 0L).collect()(0)._2
-    val qSig = TextOps.lshSignature(q)
-    val bc = s.sparkContext.broadcast((q, qSig))
-    e.mapPartitions { it =>
-      val (qv, qs) = bc.value
-      it.flatMap { case (id, v) =>
-        val sig = TextOps.lshSignature(v)
-        // probe: allow hamming distance <= 6 on the 16-bit signature
-        // (recall/candidate-count trade-off; candidates then ranked
-        // exactly — at scale this prunes ~90% of the table)
-        if (Integer.bitCount(sig ^ qs) <= 6)
-          Some((id, math.rint(TextOps.cosine(v, qv) * 10000) / 10000))
-        else None
-      }
-    }.toDF("vec_id", "cos")
+    val sigSql = TextOps.lshSigSparkSql("embedding", dim = 64)
+    val sigs = s.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding", expr(sigSql).as("sig"))
+    val q = sigs.where($"vec_id" === 0)
+      .select($"embedding".as("qv"), $"sig".as("qsig"))
+    val dot = "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    val na = "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    val nb = "sqrt(aggregate(qv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    sigs.crossJoin(broadcast(q))
+      .where(expr("bit_count(sig ^ qsig) <= 6")) // cheap prune BEFORE the dot product
+      .select($"vec_id", round(expr(s"$dot / ($na * $nb)"), 4).as("cos"))
       .orderBy(desc("cos"), asc("vec_id")).limit(10)
   }
 
@@ -431,13 +453,20 @@ object Queries {
       .orderBy($"doc_id")
   }
 
-  /** Language ID via char-trigram profiles (rows-only; heuristic
-    * unit-tested on multilingual fixtures). */
+  /** Language ID via char-trigram profiles, as pure SQL expressions
+    * (replace-length occurrence counts + greatest/CASE argmax) — the
+    * same formula strings run in the DuckDB oracle, and TextOps.langId
+    * computes identical results on the typed path (spec-asserted). */
   def qLangId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, t) => (id, TextOps.langId(t)) }
-      .toDF("doc_id", "lang_pred")
+    val scoreCols = TextOps.langProfiles.toSeq.sortBy(_._1).map {
+      case (lang, grams) =>
+        expr(TextOps.langScoreSql("lo", grams)).as(s"s_$lang")
+    }
+    docsDf(s, dir)
+      .select($"doc_id" +: lower($"text").as("lo") +: Nil: _*)
+      .select($"doc_id" +: scoreCols: _*)
+      .select($"doc_id", expr(TextOps.langChooseSql).as("lang_pred"))
       .orderBy($"doc_id")
   }
 

@@ -36,9 +36,21 @@ object TextOps {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** 16-bit random-hyperplane LSH signature; hyperplane h's component
-    * for dimension d is +-1 from a hash of (h, d) — deterministic,
-    * seedless, no stored planes. */
+  /** Hyperplane h's component for dimension d: +-1 from a splitmix-style
+    * bit mix of (h, d) — deterministic, seedless, no stored planes. */
+  def lshPlaneSign(h: Int, d: Int): Double = {
+    var x = (h.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    if (((x ^ (x >>> 31)) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** The 16 hyperplanes as literal sign vectors (for embedding SQL
+    * expressions identically in Spark and the DuckDB oracle). */
+  def lshPlanes(dim: Int): IndexedSeq[Array[Double]] =
+    (0 until 16).map(h => Array.tabulate(dim)(d => lshPlaneSign(h, d)))
+
+  /** 16-bit random-hyperplane LSH signature. */
   def lshSignature(v: Array[Float]): Int = {
     var sig = 0
     var h = 0
@@ -46,12 +58,7 @@ object TextOps {
       var dot = 0.0
       var d = 0
       while (d < v.length) {
-        // splitmix-style bit mix of (h, d) -> sign
-        var x = (h.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L
-        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-        val sign = if (((x ^ (x >>> 31)) & 1L) == 0L) 1.0 else -1.0
-        dot += sign * v(d)
+        dot += lshPlaneSign(h, d) * v(d)
         d += 1
       }
       if (dot > 0) sig |= (1 << h)
@@ -75,7 +82,7 @@ object TextOps {
   /** Char-trigram-profile language ID over a tiny built-in profile set
     * (n-gram heuristic; the reference corpus is German — 'de' profiles
     * include the historic ſ/uͤ forms). */
-  private val profiles: Map[String, Seq[String]] = Map(
+  val langProfiles: Map[String, Seq[String]] = Map(
     "de" -> Seq("ch ", "ein", "ich", "der", "die", "und", "sch", "en ", "cht",
       "ſch", "daß", "uͤb"),
     "en" -> Seq("the", " th", "ing", "and", "ion", " of", "ed ", "is "),
@@ -85,14 +92,59 @@ object TextOps {
 
   def langId(text: String): String = {
     val t = text.toLowerCase
-    val scores = profiles.map { case (lang, grams) =>
+    val scores = langProfiles.map { case (lang, grams) =>
       lang -> grams.map { g =>
+        // non-overlapping occurrences (greedy left-to-right) — the same
+        // count as the replace-based SQL formula in langScoreSql, so the
+        // typed path and the oracled expression path agree exactly
         var c = 0; var idx = t.indexOf(g)
-        while (idx >= 0) { c += 1; idx = t.indexOf(g, idx + 1) }
+        while (idx >= 0) { c += 1; idx = t.indexOf(g, idx + g.length) }
         c
       }.sum
     }
     val best = scores.maxBy { case (l, c) => (c, l) } // deterministic tie-break
     if (best._2 == 0) "unk" else best._1
   }
+
+  // ------------------------------------------------- shared SQL fragments
+  // (identical strings run as Spark `expr` and as DuckDB oracle SQL, so
+  // both engines compute the same formula by construction)
+
+  /** Per-language profile score: non-overlapping occurrence counts via
+    * the replace-length trick, summed over the profile grams. */
+  def langScoreSql(col: String, grams: Seq[String]): String =
+    grams.map { g =>
+      val n = g.codePointCount(0, g.length)
+      s"(length($col) - length(replace($col, '$g', ''))) / $n"
+    }.mkString("(", " + ", ")")
+
+  /** Pick the best language from s_<lang> columns: max score, ties to the
+    * lexicographically LARGEST lang (= langId's maxBy on (count, lang)),
+    * 'unk' when every score is 0. */
+  def langChooseSql: String = {
+    val langs = langProfiles.keys.toSeq.sorted
+    val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val whens = langs.sorted(Ordering[String].reverse).dropRight(1)
+      .map(l => s"WHEN s_$l = $g THEN '$l'").mkString(" ")
+    s"CASE WHEN $g = 0 THEN 'unk' $whens ELSE '${langs.min}' END"
+  }
+
+  /** 16-bit LSH signature of an array column, as a SQL expression over
+    * literal hyperplane sign vectors (Spark dialect: zip_with/aggregate).
+    * Bit h = (dot(embedding, plane_h) > 0) — identical to lshSignature. */
+  def lshSigSparkSql(col: String, dim: Int): String =
+    lshPlanes(dim).zipWithIndex.map { case (p, h) =>
+      val lit = p.mkString("array(", ",", ")")
+      s"""(CASE WHEN aggregate(zip_with($col, slice($lit, 1, size($col)),
+         |(x, p) -> CAST(x AS DOUBLE) * p), 0D, (acc, v) -> acc + v) > 0
+         |THEN ${1 << h} ELSE 0 END)""".stripMargin.replace('\n', ' ')
+    }.mkString("(", " + ", ")")
+
+  /** Same signature in DuckDB dialect (list_dot_product over literal
+    * sliced plane lists). */
+  def lshSigDuckSql(col: String, dim: Int): String =
+    lshPlanes(dim).zipWithIndex.map { case (p, h) =>
+      val lit = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($col, ($lit)[1:len($col)]) > 0 THEN ${1 << h} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

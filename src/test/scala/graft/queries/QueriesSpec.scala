@@ -69,6 +69,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(lsh.map(_._1).contains(0L))
   }
 
+  test("lsh SQL-expression signature equals TextOps.lshSignature on every row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        expr(TextOps.lshSigSparkSql("embedding", dim = 64)).as("sig"))
+      .as[(Long, Array[Float], Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, v, sig) =>
+      assert(sig == TextOps.lshSignature(v), s"vec $id")
+    }
+  }
+
+  test("SQL-expression lang_pred equals TextOps.langId on every row") {
+    import spark.implicits._
+    val got = Queries.qLangId(spark, sf)
+      .as[(Long, String)].collect().toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, t) =>
+      assert(got(id) == TextOps.langId(t), s"doc $id: <${t.take(60)}>")
+    }
+  }
+
   test("plan shape: scans prune columns (documents: only needed columns read)") {
     val plan = Queries.qTokenCounts(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema"))
