@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 24g default: 32 executor threads of allocation-heavy FST work in a
   // small heap turn into a GC storm (box has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // fixed heap: G1 dynamic commit/uncommit churn triggers a kernel
+  // madvise/THP storm under allocation-heavy load (measured 73% sys time
+  // with concurrent JVMs; bench/multi_exec_bench.sh) — spark-submit
+  // executors run fixed heaps for the same reason
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

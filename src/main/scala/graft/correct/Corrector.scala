@@ -49,11 +49,13 @@ object CompiledModel {
       maxContext: Int = 3, maxErrors: Int = 3,
       wordsPerWindow: Int = 3,
       pruningWeight: Double = 5.0,
-      rejectionWeight: Double = 1.5): CompiledModel = {
+      rejectionWeight: Double = 1.5,
+      preservePunct: Boolean = false): CompiledModel = {
     val gtLines = pairs.map(_._2)
     val lexicon = LexiconBuilder.buildLexicon(gtLines, wordlist)
     val lexFst = LexiconBuilder.lexiconToFst(lexicon)
-    val errorFst = ErrorModelTrainer.trainSimple(pairs, maxContext, maxErrors)
+    val errorFst = ErrorModelTrainer.trainSimple(pairs, maxContext, maxErrors,
+      preservePunct)
     CompiledModel(Some(errorFst), windowFstFrom(lexFst, wordsPerWindow),
       pruningWeight, rejectionWeight, maxWindowSize = 2, wordsPerWindow)
   }
@@ -76,7 +78,8 @@ object CompiledModel {
       maxContext: Int = 3, maxErrors: Int = 3,
       wordsPerWindow: Int = 3,
       pruningWeight: Double = 5.0,
-      rejectionWeight: Double = 1.5): CompiledModel = {
+      rejectionWeight: Double = 1.5,
+      preservePunct: Boolean = false): CompiledModel = {
     import spark.implicits._
     // C2: distributed lexicon counts over GT lines
     val lexRows = pairs.map(_._2).flatMap(LexiconBuilder.lineEmissions)
@@ -102,7 +105,7 @@ object CompiledModel {
         n -> confRows.collect { case ((`n`, r, g), c) => ((r, g), c) }.toMap
       }.toMap
     val singles = (1 to maxContext).map(n =>
-      ErrorModelTrainer.compileSingle(byN(n)))
+      ErrorModelTrainer.compileSingle(byN(n), preservePunct))
     val errorFst = ErrorModelTrainer.combineErrorTransducers(singles, maxErrors)
     CompiledModel(Some(errorFst), windowFstFrom(lexFst, wordsPerWindow),
       pruningWeight, rejectionWeight, 2, wordsPerWindow)

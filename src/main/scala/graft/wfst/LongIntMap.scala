@@ -32,6 +32,12 @@ final class LongIntMap(initialCapacity: Int = 64) {
 
   def size: Int = n
 
+  /** Reset to empty, KEEPING the grown capacity (scratch reuse across
+    * compose calls: one fill instead of a fresh allocation + GC). */
+  def clear(): Unit = {
+    if (n > 0) { java.util.Arrays.fill(keys, Long.MinValue); n = 0 }
+  }
+
   private def grow(): Unit = {
     val ok = keys; val ov = vals
     cap <<= 1

@@ -17,6 +17,56 @@ object Label {
   * arrays — this class exists for construction and tests). */
 final case class Arc(ilabel: Int, olabel: Int, weight: Double, dst: Int)
 
+/** Per-thread reusable buffers for the compose/prune/connect hot path.
+  * The correction cascade runs millions of windows per task and the
+  * miss path was measured allocation-bound at >8 threads (GC + memory
+  * bandwidth shared across the whole JVM): fresh hash maps, queues, CSR
+  * temporaries and distance arrays per window were the dominant traffic.
+  * One Scratch per thread (ThreadLocal in `Wfst`), growable, never
+  * shrunk; returned machines NEVER alias scratch — final CSR arrays are
+  * always freshly sized exact copies. */
+private[wfst] final class Scratch {
+  val map = new LongIntMap(1 << 12)
+  val sink = new ArcSink(1 << 12)
+  // product-state-indexed (compose/composeBounded)
+  var pairA = new Array[Int](1 << 10)
+  var pairB = new Array[Int](1 << 10)
+  var dist = new Array[Double](1 << 10)
+  var rangeStart = new Array[Int](1 << 10)
+  var rangeLen = new Array[Int](1 << 10)
+  var flags = new Array[Boolean](1 << 10) // SPFA in-queue (false at state creation)
+  var queue = new Array[Int](1 << 11)
+  // reachability / trim / prune temporaries
+  var mark = new Array[Boolean](1 << 10)
+  var stack = new Array[Int](1 << 10)
+  var indeg = new Array[Int](1 << 10)
+  var order = new Array[Int](1 << 10)
+  var revOff = new Array[Int](1 << 10)
+  var revSrc = new Array[Int](1 << 12)
+  var remap = new Array[Int](1 << 10)
+  var fwd = new Array[Double](1 << 10)
+  var bwd = new Array[Double](1 << 10)
+
+  def growStates(n: Int): Unit = if (n > pairA.length) {
+    val c = math.max(pairA.length << 1, n)
+    pairA = java.util.Arrays.copyOf(pairA, c)
+    pairB = java.util.Arrays.copyOf(pairB, c)
+    dist = java.util.Arrays.copyOf(dist, c)
+    rangeStart = java.util.Arrays.copyOf(rangeStart, c)
+    rangeLen = java.util.Arrays.copyOf(rangeLen, c)
+    flags = java.util.Arrays.copyOf(flags, c)
+  }
+}
+
+private[wfst] object Scratch {
+  def ensureInt(a: Array[Int], n: Int): Array[Int] =
+    if (a.length >= n) a else new Array[Int](math.max(a.length << 1, n))
+  def ensureBool(a: Array[Boolean], n: Int): Array[Boolean] =
+    if (a.length >= n) a else new Array[Boolean](math.max(a.length << 1, n))
+  def ensureDouble(a: Array[Double], n: Int): Array[Double] =
+    if (a.length >= n) a else new Array[Double](math.max(a.length << 1, n))
+}
+
 /** Growable primitive arc store used by all builders. */
 private[wfst] final class ArcSink(cap0: Int = 64) {
   var il = new Array[Int](cap0)
@@ -217,8 +267,11 @@ final class Wfst private (
   def connect: Wfst = {
     if (numStates == 0) return this
     val n = numStates
-    val fwd = new Array[Boolean](n)
-    val stack = new Array[Int](n)
+    val sc = Wfst.scratch.get()
+    sc.mark = Scratch.ensureBool(sc.mark, n)   // forward-reachable
+    sc.stack = Scratch.ensureInt(sc.stack, n)
+    val fwd = sc.mark; java.util.Arrays.fill(fwd, 0, n, false)
+    val stack = sc.stack
     var sp = 0
     fwd(start) = true; stack(sp) = start; sp += 1
     while (sp > 0) {
@@ -230,23 +283,33 @@ final class Wfst private (
         k += 1
       }
     }
-    // reverse CSR
-    val revCnt = new Array[Int](n)
-    var k = 0
+    // reverse CSR (scratch; sc.indeg doubles as counters then cursors)
     val total = numArcs
-    while (k < total) { revCnt(ds(k)) += 1; k += 1 }
-    val revOff = new Array[Int](n + 1)
+    sc.indeg = Scratch.ensureInt(sc.indeg, n)
+    java.util.Arrays.fill(sc.indeg, 0, n, 0)
+    var k = 0
+    while (k < total) { sc.indeg(ds(k)) += 1; k += 1 }
+    sc.revOff = Scratch.ensureInt(sc.revOff, n + 1)
+    val revOff = sc.revOff
+    revOff(0) = 0
     var u = 0
-    while (u < n) { revOff(u + 1) = revOff(u) + revCnt(u); u += 1 }
-    val revSrc = new Array[Int](total)
-    val fill = revOff.clone()
+    while (u < n) { revOff(u + 1) = revOff(u) + sc.indeg(u); u += 1 }
+    sc.revSrc = Scratch.ensureInt(sc.revSrc, math.max(total, 1))
+    val revSrc = sc.revSrc
+    u = 0
+    while (u < n) { sc.indeg(u) = revOff(u); u += 1 }
     u = 0
     while (u < n) {
       k = off(u)
-      while (k < off(u + 1)) { revSrc(fill(ds(k))) = u; fill(ds(k)) += 1; k += 1 }
+      while (k < off(u + 1)) {
+        val d = ds(k); revSrc(sc.indeg(d)) = u; sc.indeg(d) += 1; k += 1
+      }
       u += 1
     }
-    val bwd = new Array[Boolean](n)
+    // co-reachable (sc.flags is safe scratch here: composeBounded
+    // re-initializes its in-queue flags at state creation)
+    sc.flags = Scratch.ensureBool(sc.flags, n)
+    val bwd = sc.flags; java.util.Arrays.fill(bwd, 0, n, false)
     sp = 0
     var i = 0
     while (i < finState.length) {
@@ -264,7 +327,8 @@ final class Wfst private (
       }
     }
     if (!(fwd(start) && bwd(start))) return Wfst.emptyFst
-    val remap = new Array[Int](n)
+    sc.remap = Scratch.ensureInt(sc.remap, n)
+    val remap = sc.remap
     var kept = 0
     u = 0
     while (u < n) {
@@ -304,15 +368,23 @@ final class Wfst private (
       }
       u += 1
     }
-    val fb = mutable.ArrayBuffer.empty[(Int, Double)]
+    // finals: ascending finState + monotone remap => already sorted
+    var fCount = 0
     i = 0
     while (i < finState.length) {
-      if (remap(finState(i)) >= 0) fb += ((remap(finState(i)), finWt(i)))
+      if (remap(finState(i)) >= 0) fCount += 1
       i += 1
     }
-    val fs = fb.sortBy(_._1)
-    new Wfst(remap(start), kept, nOff, nIl, nOl, nWt, nDs,
-      fs.map(_._1).toArray, fs.map(_._2).toArray)
+    val fs = new Array[Int](fCount); val fw = new Array[Double](fCount)
+    var fi = 0
+    i = 0
+    while (i < finState.length) {
+      if (remap(finState(i)) >= 0) {
+        fs(fi) = remap(finState(i)); fw(fi) = finWt(i); fi += 1
+      }
+      i += 1
+    }
+    new Wfst(remap(start), kept, nOff, nIl, nOl, nWt, nDs, fs, fw)
   }
 
   // ---------------------------------------------------------------- distances
@@ -345,15 +417,48 @@ final class Wfst private (
 
   def topoOrder: Option[Array[Int]] = Option(topoOrderOrNull)
 
+  /** Scratch-backed topo order (Kahn into sc.order; sc.indeg as the
+    * counters). Returns sc.order (do NOT retain) or null if cyclic. */
+  private def topoOrderInto(sc: Scratch): Array[Int] = {
+    val n = numStates
+    sc.indeg = Scratch.ensureInt(sc.indeg, n)
+    sc.order = Scratch.ensureInt(sc.order, n)
+    java.util.Arrays.fill(sc.indeg, 0, n, 0)
+    var k = 0
+    val total = numArcs
+    while (k < total) { sc.indeg(ds(k)) += 1; k += 1 }
+    var head = 0; var tail = 0
+    var u = 0
+    while (u < n) { if (sc.indeg(u) == 0) { sc.order(tail) = u; tail += 1 }; u += 1 }
+    while (head < tail) {
+      val v = sc.order(head); head += 1
+      k = off(v)
+      while (k < off(v + 1)) {
+        sc.indeg(ds(k)) -= 1
+        if (sc.indeg(ds(k)) == 0) { sc.order(tail) = ds(k); tail += 1 }
+        k += 1
+      }
+    }
+    if (tail == n) sc.order else null
+  }
+
   def shortestDistances: Array[Double] = shortestDistances(topoOrderOrNull)
 
-  private def shortestDistances(topo: Array[Int]): Array[Double] = {
-    val dist = Array.fill(numStates)(Double.PositiveInfinity)
+  private def shortestDistances(topo: Array[Int]): Array[Double] =
+    shortestDistancesInto(topo, new Array[Double](numStates))
+
+  /** Like shortestDistances but writes into a caller-provided array
+    * (scratch reuse; array length must be >= numStates). */
+  private def shortestDistancesInto(topo: Array[Int],
+      dist: Array[Double]): Array[Double] = {
+    java.util.Arrays.fill(dist, 0, numStates, Double.PositiveInfinity)
     if (numStates == 0) return dist
     dist(start) = 0.0
     if (topo != null) {
+      // NOTE: bound by numStates, not topo.length — topo may be the
+      // scratch order array, whose capacity exceeds the valid prefix
       var i = 0
-      while (i < topo.length) {
+      while (i < numStates) {
         val u = topo(i)
         val d = dist(u)
         if (!d.isInfinity) {
@@ -386,14 +491,19 @@ final class Wfst private (
 
   def reverseDistances: Array[Double] = reverseDistances(topoOrderOrNull)
 
-  private def reverseDistances(topo: Array[Int]): Array[Double] = {
+  private def reverseDistances(topo: Array[Int]): Array[Double] =
+    reverseDistancesInto(topo, new Array[Double](numStates))
+
+  private def reverseDistancesInto(topo: Array[Int],
+      dist: Array[Double]): Array[Double] = {
     val n = numStates
-    val dist = Array.fill(n)(Double.PositiveInfinity)
+    java.util.Arrays.fill(dist, 0, n, Double.PositiveInfinity)
     if (n == 0) return dist
     var i = 0
     while (i < finState.length) { dist(finState(i)) = finWt(i); i += 1 }
     if (topo != null) {
-      i = topo.length - 1
+      // bound by numStates (scratch order array is over-capacity)
+      i = n - 1
       while (i >= 0) {
         val u = topo(i)
         var k = off(u)
@@ -449,14 +559,18 @@ final class Wfst private (
     * Renumbers (trims) in the same pass. */
   def prune(th: Double): Wfst = {
     if (numStates == 0) return this
-    val topo = topoOrderOrNull
-    val fwd = shortestDistances(topo)
-    val bwd = reverseDistances(topo)
+    val sc = Wfst.scratch.get()
+    val topo = topoOrderInto(sc)
+    sc.fwd = Scratch.ensureDouble(sc.fwd, numStates)
+    sc.bwd = Scratch.ensureDouble(sc.bwd, numStates)
+    val fwd = shortestDistancesInto(topo, sc.fwd)
+    val bwd = reverseDistancesInto(topo, sc.bwd)
     val best = bwd(start)
     if (best.isInfinity) return Wfst.emptyFst
     val lim = best + th + 1e-9
     val n = numStates
-    val remap = new Array[Int](n)
+    sc.remap = Scratch.ensureInt(sc.remap, n)
+    val remap = sc.remap
     var kept = 0
     var u = 0
     while (u < n) {
@@ -497,16 +611,25 @@ final class Wfst private (
       }
       u += 1
     }
-    val fb = mutable.ArrayBuffer.empty[(Int, Double)]
+    // finals: finState is ascending and remap is monotone over kept
+    // states, so the filtered copy is already sorted (no boxing/sort)
+    var fCount = 0
     var i = 0
     while (i < finState.length) {
-      val s = finState(i)
-      if (remap(s) >= 0 && fwd(s) + finWt(i) <= lim) fb += ((remap(s), finWt(i)))
+      if (remap(finState(i)) >= 0 && fwd(finState(i)) + finWt(i) <= lim) fCount += 1
       i += 1
     }
-    val fs = fb.sortBy(_._1)
-    new Wfst(remap(start), kept, nOff, nIl, nOl, nWt, nDs,
-      fs.map(_._1).toArray, fs.map(_._2).toArray)
+    val fs = new Array[Int](fCount); val fw = new Array[Double](fCount)
+    var fi = 0
+    i = 0
+    while (i < finState.length) {
+      val s = finState(i)
+      if (remap(s) >= 0 && fwd(s) + finWt(i) <= lim) {
+        fs(fi) = remap(s); fw(fi) = finWt(i); fi += 1
+      }
+      i += 1
+    }
+    new Wfst(remap(start), kept, nOff, nIl, nOl, nWt, nDs, fs, fw)
   }
 
   // ---------------------------------------------------------------- compose
@@ -545,22 +668,18 @@ final class Wfst private (
     * Result is trimmed (connect). */
   def compose(that: Wfst): Wfst = {
     if (this.numStates == 0 || that.numStates == 0) return Wfst.emptyFst
-    val stateIds = new LongIntMap(64)
-    var pairA = new Array[Int](64)
-    var pairB = new Array[Int](64)
+    val sc = Wfst.scratch.get()
+    val stateIds = sc.map; stateIds.clear()
+    val sink = sc.sink; sink.n = 0
     var nStates = 0
-    val sink = new ArcSink(128)
-    val outOff = new IntList(128)
     def id(p: Int, q: Int): Int = {
       val k = p.toLong << 32 | (q.toLong & 0xffffffffL)
       val existing = stateIds.getOrElse(k, -1)
       if (existing >= 0) existing
       else {
-        if (nStates == pairA.length) {
-          pairA = java.util.Arrays.copyOf(pairA, nStates << 1)
-          pairB = java.util.Arrays.copyOf(pairB, nStates << 1)
-        }
-        pairA(nStates) = p; pairB(nStates) = q
+        sc.growStates(nStates + 1)
+        sc.pairA(nStates) = p; sc.pairB(nStates) = q
+        sc.rangeStart(nStates) = 0; sc.rangeLen(nStates) = 0
         stateIds.put(k, nStates)
         nStates += 1
         nStates - 1
@@ -568,9 +687,9 @@ final class Wfst private (
     }
     id(this.start, that.start)
     var head = 0
-    outOff.add(0)
     while (head < nStates) {
-      val p = pairA(head); val q = pairB(head)
+      val p = sc.pairA(head); val q = sc.pairB(head)
+      val from = sink.n
       val bLo = that.off(q); val bHi = that.off(q + 1)
       // sigma block [bLo, sigmaEnd), then eps block [sigmaEnd, be)
       var sigmaEnd = bLo
@@ -608,28 +727,134 @@ final class Wfst private (
         }
         ka += 1
       }
+      sc.rangeStart(head) = from
+      sc.rangeLen(head) = sink.n - from
       head += 1
-      outOff.add(sink.n)
     }
-    // states discovered after their arcs were emitted have empty ranges
-    while (outOff.n <= nStates) outOff.add(sink.n)
-    val fb = mutable.ArrayBuffer.empty[(Int, Double)]
+    assembleTrimmed(sc, nStates, that)
+  }
+
+  /** Build the trimmed (connected) machine straight from the scratch
+    * product ranges: coaccessibility is computed over the live arc
+    * ranges BEFORE any final arrays are allocated, fusing the old
+    * compose-then-connect double CSR copy into one exact-size copy.
+    * Forward reachability is by construction (states are only created
+    * when an arc reaches them). Renumbering is ascending discovery
+    * order — identical to the old connect output. */
+  private def assembleTrimmed(sc: Scratch, nStates: Int, that: Wfst): Wfst = {
+    if (nStates == 0) return Wfst.emptyFst
+    val sink = sc.sink
+    // reverse CSR over live ranges
+    sc.indeg = Scratch.ensureInt(sc.indeg, nStates)
+    java.util.Arrays.fill(sc.indeg, 0, nStates, 0)
+    var total = 0
+    var s = 0
+    while (s < nStates) {
+      var k = sc.rangeStart(s); val e = k + sc.rangeLen(s)
+      total += sc.rangeLen(s)
+      while (k < e) { sc.indeg(sink.ds(k)) += 1; k += 1 }
+      s += 1
+    }
+    sc.revOff = Scratch.ensureInt(sc.revOff, nStates + 1)
+    sc.revOff(0) = 0
+    s = 0
+    while (s < nStates) { sc.revOff(s + 1) = sc.revOff(s) + sc.indeg(s); s += 1 }
+    sc.revSrc = Scratch.ensureInt(sc.revSrc, math.max(total, 1))
+    s = 0
+    while (s < nStates) { sc.indeg(s) = sc.revOff(s); s += 1 } // fill cursors
+    s = 0
+    while (s < nStates) {
+      var k = sc.rangeStart(s); val e = k + sc.rangeLen(s)
+      while (k < e) {
+        val d = sink.ds(k); sc.revSrc(sc.indeg(d)) = s; sc.indeg(d) += 1
+        k += 1
+      }
+      s += 1
+    }
+    // coaccessibility from product-final states
+    sc.mark = Scratch.ensureBool(sc.mark, nStates)
+    java.util.Arrays.fill(sc.mark, 0, nStates, false)
+    sc.stack = Scratch.ensureInt(sc.stack, nStates)
+    var sp = 0
     var i = 0
     while (i < nStates) {
-      val wa = this.finalWeight(pairA(i))
-      if (!wa.isInfinity) {
-        val wb = that.finalWeight(pairB(i))
-        if (!wb.isInfinity) fb += ((i, wa + wb))
+      if (!this.finalWeight(sc.pairA(i)).isInfinity &&
+          !that.finalWeight(sc.pairB(i)).isInfinity) {
+        sc.mark(i) = true; sc.stack(sp) = i; sp += 1
       }
       i += 1
     }
-    val fs = fb.sortBy(_._1)
-    new Wfst(0, nStates, outOff.toArray,
-      java.util.Arrays.copyOf(sink.il, sink.n),
-      java.util.Arrays.copyOf(sink.ol, sink.n),
-      java.util.Arrays.copyOf(sink.wt, sink.n),
-      java.util.Arrays.copyOf(sink.ds, sink.n),
-      fs.map(_._1).toArray, fs.map(_._2).toArray).connect
+    while (sp > 0) {
+      sp -= 1; val v = sc.stack(sp)
+      var r = sc.revOff(v)
+      while (r < sc.revOff(v + 1)) {
+        val p = sc.revSrc(r)
+        if (!sc.mark(p)) { sc.mark(p) = true; sc.stack(sp) = p; sp += 1 }
+        r += 1
+      }
+    }
+    if (!sc.mark(0)) return Wfst.emptyFst
+    // renumber (ascending) + exact-size CSR copy of kept arcs
+    sc.remap = Scratch.ensureInt(sc.remap, nStates)
+    var kept = 0
+    s = 0
+    while (s < nStates) {
+      if (sc.mark(s)) { sc.remap(s) = kept; kept += 1 } else sc.remap(s) = -1
+      s += 1
+    }
+    val nOff = new Array[Int](kept + 1)
+    s = 0
+    while (s < nStates) {
+      if (sc.mark(s)) {
+        var c = 0
+        var k = sc.rangeStart(s); val e = k + sc.rangeLen(s)
+        while (k < e) { if (sc.mark(sink.ds(k))) c += 1; k += 1 }
+        nOff(sc.remap(s) + 1) = c
+      }
+      s += 1
+    }
+    var t = 0
+    while (t < kept) { nOff(t + 1) += nOff(t); t += 1 }
+    val m = nOff(kept)
+    val nIl = new Array[Int](m); val nOl = new Array[Int](m)
+    val nWt = new Array[Double](m); val nDs = new Array[Int](m)
+    s = 0
+    while (s < nStates) {
+      if (sc.mark(s)) {
+        var p = nOff(sc.remap(s))
+        var k = sc.rangeStart(s); val e = k + sc.rangeLen(s)
+        while (k < e) {
+          if (sc.mark(sink.ds(k))) {
+            nIl(p) = sink.il(k); nOl(p) = sink.ol(k); nWt(p) = sink.wt(k)
+            nDs(p) = sc.remap(sink.ds(k)); p += 1
+          }
+          k += 1
+        }
+      }
+      s += 1
+    }
+    // finals: kept product-final states, ascending remap order
+    var fCount = 0
+    i = 0
+    while (i < nStates) {
+      if (sc.mark(i) && !this.finalWeight(sc.pairA(i)).isInfinity &&
+          !that.finalWeight(sc.pairB(i)).isInfinity) fCount += 1
+      i += 1
+    }
+    val fs = new Array[Int](fCount); val fw = new Array[Double](fCount)
+    var fi = 0
+    i = 0
+    while (i < nStates) {
+      if (sc.mark(i)) {
+        val wa = this.finalWeight(sc.pairA(i))
+        if (!wa.isInfinity) {
+          val wb = that.finalWeight(sc.pairB(i))
+          if (!wb.isInfinity) { fs(fi) = sc.remap(i); fw(fi) = wa + wb; fi += 1 }
+        }
+      }
+      i += 1
+    }
+    new Wfst(0, kept, nOff, nIl, nOl, nWt, nDs, fs, fw)
   }
 
   /** Weight-bounded composition: like `compose`, but product states are
@@ -647,67 +872,48 @@ final class Wfst private (
   def composeBounded(that: Wfst, maxWeight: Double): Wfst = {
     if (this.numStates == 0 || that.numStates == 0) return Wfst.emptyFst
     val lim = maxWeight + 1e-9
-    val stateIds = new LongIntMap(64)
-    var pairA = new Array[Int](64)
-    var pairB = new Array[Int](64)
-    var dist = new Array[Double](64)
+    val sc = Wfst.scratch.get()
+    val stateIds = sc.map; stateIds.clear()
+    // arcs in the scratch sink; per-state (start,len) ranges — a
+    // re-expansion appends a fresh range and repoints (stale ranges are
+    // skipped in the final copy). No per-arc object allocation.
+    val sink = sc.sink; sink.n = 0
     var nStates = 0
     def id(p: Int, q: Int): Int = {
       val k = p.toLong << 32 | (q.toLong & 0xffffffffL)
       val existing = stateIds.getOrElse(k, -1)
       if (existing >= 0) existing
       else {
-        if (nStates == pairA.length) {
-          pairA = java.util.Arrays.copyOf(pairA, nStates << 1)
-          pairB = java.util.Arrays.copyOf(pairB, nStates << 1)
-          dist = java.util.Arrays.copyOf(dist, nStates << 1)
-        }
-        pairA(nStates) = p; pairB(nStates) = q
-        dist(nStates) = Double.PositiveInfinity
+        sc.growStates(nStates + 1)
+        sc.pairA(nStates) = p; sc.pairB(nStates) = q
+        sc.dist(nStates) = Double.PositiveInfinity
+        sc.rangeStart(nStates) = 0; sc.rangeLen(nStates) = 0
+        sc.flags(nStates) = false // in-queue flag, clean at creation
         stateIds.put(k, nStates)
         nStates += 1
         nStates - 1
       }
     }
-    // arcs in a primitive sink; per-state (start,len) ranges — a
-    // re-expansion appends a fresh range and repoints (stale ranges are
-    // skipped in the final copy). No per-arc object allocation.
-    val sink = new ArcSink(256)
-    var rangeStart = new Array[Int](64)
-    var rangeLen = new Array[Int](64)
-    def ensureRange(s: Int): Unit =
-      if (s >= rangeStart.length) {
-        val c = math.max(rangeStart.length << 1, s + 1)
-        rangeStart = java.util.Arrays.copyOf(rangeStart, c)
-        rangeLen = java.util.Arrays.copyOf(rangeLen, c)
-      }
     val s0 = id(this.start, that.start)
-    dist(s0) = 0.0
+    sc.dist(s0) = 0.0
     // primitive FIFO + membership flags (no boxing on the hot path)
-    var queue = new Array[Int](256)
     var qHead = 0; var qTail = 0
-    var inQueue = new Array[Boolean](64)
     def push(t: Int): Unit = {
-      if (qTail == queue.length) {
-        if (qHead > (queue.length >> 1)) { // compact
-          System.arraycopy(queue, qHead, queue, 0, qTail - qHead)
+      if (qTail == sc.queue.length) {
+        if (qHead > (sc.queue.length >> 1)) { // compact
+          System.arraycopy(sc.queue, qHead, sc.queue, 0, qTail - qHead)
           qTail -= qHead; qHead = 0
-        } else queue = java.util.Arrays.copyOf(queue, queue.length << 1)
+        } else sc.queue = java.util.Arrays.copyOf(sc.queue, sc.queue.length << 1)
       }
-      queue(qTail) = t; qTail += 1
+      sc.queue(qTail) = t; qTail += 1
     }
-    def ensureFlags(s: Int): Unit =
-      if (s >= inQueue.length)
-        inQueue = java.util.Arrays.copyOf(inQueue,
-          math.max(inQueue.length << 1, s + 1))
-    inQueue(s0) = true; push(s0)
+    sc.flags(s0) = true; push(s0)
     while (qHead < qTail) {
-      val cur = queue(qHead); qHead += 1
-      inQueue(cur) = false
-      val d0 = dist(cur)
-      val p = pairA(cur); val q = pairB(cur)
-      ensureRange(cur)
-      rangeStart(cur) = sink.n
+      val cur = sc.queue(qHead); qHead += 1
+      sc.flags(cur) = false
+      val d0 = sc.dist(cur)
+      val p = sc.pairA(cur); val q = sc.pairB(cur)
+      val from = sink.n
       var emitted = 0
       def emit(il2: Int, ol2: Int, w: Double, dp: Int, dq: Int): Unit = {
         val nd = d0 + w
@@ -715,10 +921,9 @@ final class Wfst private (
           val t = id(dp, dq)
           sink.add(il2, ol2, w, t)
           emitted += 1
-          if (nd < dist(t) - 1e-15) {
-            dist(t) = nd
-            ensureFlags(t)
-            if (!inQueue(t)) { inQueue(t) = true; push(t) }
+          if (nd < sc.dist(t) - 1e-15) {
+            sc.dist(t) = nd
+            if (!sc.flags(t)) { sc.flags(t) = true; push(t) }
           }
         }
       }
@@ -758,45 +963,10 @@ final class Wfst private (
         }
         ka += 1
       }
-      rangeLen(cur) = emitted
+      sc.rangeStart(cur) = from
+      sc.rangeLen(cur) = emitted
     }
-    // assemble CSR from the live ranges
-    val nOff = new Array[Int](nStates + 1)
-    var s = 0
-    while (s < nStates) {
-      nOff(s + 1) = nOff(s) + (if (s < rangeLen.length) rangeLen(s) else 0)
-      s += 1
-    }
-    val m = nOff(nStates)
-    val nIl = new Array[Int](m); val nOl = new Array[Int](m)
-    val nWt = new Array[Double](m); val nDs = new Array[Int](m)
-    s = 0
-    while (s < nStates) {
-      if (s < rangeLen.length) {
-        var src = rangeStart(s)
-        var dst = nOff(s)
-        val end = src + rangeLen(s)
-        while (src < end) {
-          nIl(dst) = sink.il(src); nOl(dst) = sink.ol(src)
-          nWt(dst) = sink.wt(src); nDs(dst) = sink.ds(src)
-          src += 1; dst += 1
-        }
-      }
-      s += 1
-    }
-    val fb = mutable.ArrayBuffer.empty[(Int, Double)]
-    var i = 0
-    while (i < nStates) {
-      val wa = this.finalWeight(pairA(i))
-      if (!wa.isInfinity) {
-        val wb = that.finalWeight(pairB(i))
-        if (!wb.isInfinity) fb += ((i, wa + wb))
-      }
-      i += 1
-    }
-    val fs = fb.sortBy(_._1)
-    new Wfst(0, nStates, nOff, nIl, nOl, nWt, nDs,
-      fs.map(_._1).toArray, fs.map(_._2).toArray).connect
+    assembleTrimmed(sc, nStates, that)
   }
 
   // ---------------------------------------------------------------- decoding
@@ -982,6 +1152,10 @@ object Wfst {
 
   /** Accepts only the empty string with weight 0. */
   def epsilonFst: Wfst = apply(0, Map(0 -> 0.0), Array(Array.empty[Arc]))
+
+  /** Per-thread scratch buffers for the hot path (see Scratch). */
+  private[wfst] val scratch: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
 
   /** Linear-chain identity acceptor of `s` with final weight `w`
     * (pynini `acceptor`, lib/latticegen.py:29-35). */
