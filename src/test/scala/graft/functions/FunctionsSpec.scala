@@ -46,6 +46,22 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("HexPrefix64 == conv(substr(hex,1,15),16,10) and stays in codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(md5(col("text")).as("h"))
+      .select(col("h"),
+        HexPrefix64.hexPrefix64(col("h")).as("fast"),
+        conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("ref"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), r.getString(0)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hexprefix64(") || plan.contains("HexPrefix64"), plan)
+    assert(!plan.contains("DeserializeToObject"), plan)
+  }
+
   test("SimHash64 handles nulls") {
     import spark.implicits._
     val df = Seq(Some("abc"), None).toDF("t")
