@@ -194,13 +194,23 @@ object Corrector {
     // accepting path, so weight-bounded composition at the pruning
     // threshold is EXACTLY compose-then-prune — the beam applies during
     // the search instead of after it (dense confusion tables would
-    // otherwise explode the product before prune sees it)
+    // otherwise explode the product before prune sees it).
+    // trim = false throughout: prune drops non-coaccessible states
+    // itself, and downstream compose / path enumeration explore only
+    // from the start state, so the intermediate connect passes are
+    // pure overhead (measured ~15% of the miss path)
+    // NOTE: dropping rmEpsilon entirely is semantically legal here
+    // (compose treats left eps:eps arcs as left-alone moves and
+    // paths()/distinctOutputs skip eps labels + dedup) but measured 2.7x
+    // SLOWER — the uncollapsed eps chains multiply the next product's
+    // state count; rmEpsilon earns its keep as compaction.
     for (fst <- model.errorFst) {
-      w = w.composeBounded(fst, model.pruningWeight).projectOutput
-        .prune(model.pruningWeight).rmEpsilon
+      w = w.composeBounded(fst, model.pruningWeight, trim = false)
+        .projectOutput
+        .prune(model.pruningWeight).rmEpsilon(trim = false)
     }
-    w = w.compose(model.windowFst).projectOutput
-      .prune(model.pruningWeight).rmEpsilon
+    w = w.compose(model.windowFst, trim = false).projectOutput
+      .prune(model.pruningWeight).rmEpsilon(trim = false)
     if (!inputStr.contains(' ')) {
       val len = inputStr.codePointCount(0, inputStr.length)
       w = w.union(Wfst.acceptor(inputStr,

@@ -46,6 +46,10 @@ private[wfst] final class Scratch {
   var remap = new Array[Int](1 << 10)
   var fwd = new Array[Double](1 << 10)
   var bwd = new Array[Double](1 << 10)
+  // primitive binary min-heap (rmEpsilon closures; scala PriorityQueue
+  // routes every enqueue through Seq+addAll+iterator and boxes tuples)
+  var heapW = new Array[Double](256)
+  var heapS = new Array[Int](256)
 
   def growStates(n: Int): Unit = if (n > pairA.length) {
     val c = math.max(pairA.length << 1, n)
@@ -119,6 +123,24 @@ final class Wfst private (
   }
   def isFinal(s: Int): Boolean =
     java.util.Arrays.binarySearch(finState, s) >= 0
+
+  /** Dense final-weight table (+inf = non-final), built lazily once per
+    * machine instance (once per executor for broadcast models) — turns
+    * the per-product-state finalWeight binarySearch in the compose hot
+    * path into an array read. Benign build race across threads
+    * (idempotent; reference assignment). */
+  @transient private var finDense0: Array[Double] = _
+  private[wfst] def finalWeightDense: Array[Double] = {
+    var d = finDense0
+    if (d == null) {
+      d = new Array[Double](math.max(numStates, 1))
+      java.util.Arrays.fill(d, Double.PositiveInfinity)
+      var i = 0
+      while (i < finState.length) { d(finState(i)) = finWt(i); i += 1 }
+      finDense0 = d
+    }
+    d
+  }
 
   /** Compatibility views (tests, debugging; not on the hot path). */
   def finals: Map[Int, Double] =
@@ -195,7 +217,14 @@ final class Wfst private (
   /** Remove eps:eps arcs by tropical eps-closure (part of pynini
     * `optimize()`; det/min are perf-only — SURVEY.md §4). Arcs with eps
     * on only one tape are preserved (they transduce). */
-  def rmEpsilon: Wfst = {
+  def rmEpsilon: Wfst = rmEpsilon(trim = true)
+
+  /** `trim = false` skips the final connect: inside the per-window
+    * cascade the result feeds a compose or a path enumeration, both of
+    * which explore only from the start state, so the eps-bypassed
+    * (now unreachable) states are never visited and the trim is pure
+    * overhead; public callers keep the trimmed default. */
+  def rmEpsilon(trim: Boolean): Wfst = {
     if (numStates == 0) return this
     val n = numStates
     // states with eps:eps out-arcs
@@ -207,24 +236,80 @@ final class Wfst private (
       a += 1
     }
     if (!anyEps) return this
+    val sc = Wfst.scratch.get()
     val b = new WfstBuilder(n)
-    val finW = Array.fill(n)(Double.PositiveInfinity)
-    var i = 0
-    while (i < finState.length) { finW(finState(i)) = finWt(i); i += 1 }
-    val dist = new Array[Double](n)
-    val seen = new Array[Int](n) // stamp per source state
-    java.util.Arrays.fill(seen, -1)
+    val finW = finalWeightDense
+    // scratch: dist/seen are stamp-guarded (fwd/indeg are free here;
+    // connect at the end uses indeg only after the loop is done)
+    sc.fwd = Scratch.ensureDouble(sc.fwd, n)
+    sc.indeg = Scratch.ensureInt(sc.indeg, n)
+    val dist = sc.fwd
+    val seen = sc.indeg // stamp per source state
+    java.util.Arrays.fill(seen, 0, n, -1)
     val members = new IntList(16)
-    val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
+    // primitive binary min-heap on (weight, state)
+    var hn = 0
+    def hpush(w: Double, st: Int): Unit = {
+      if (hn == sc.heapW.length) {
+        sc.heapW = java.util.Arrays.copyOf(sc.heapW, hn << 1)
+        sc.heapS = java.util.Arrays.copyOf(sc.heapS, hn << 1)
+      }
+      var i2 = hn; hn += 1
+      sc.heapW(i2) = w; sc.heapS(i2) = st
+      while (i2 > 0 && sc.heapW((i2 - 1) >> 1) > sc.heapW(i2)) {
+        val p = (i2 - 1) >> 1
+        val tw = sc.heapW(p); sc.heapW(p) = sc.heapW(i2); sc.heapW(i2) = tw
+        val ts = sc.heapS(p); sc.heapS(p) = sc.heapS(i2); sc.heapS(i2) = ts
+        i2 = p
+      }
+    }
+    var popW = 0.0
+    var popS = 0
+    def hpop(): Unit = {
+      popW = sc.heapW(0); popS = sc.heapS(0)
+      hn -= 1
+      sc.heapW(0) = sc.heapW(hn); sc.heapS(0) = sc.heapS(hn)
+      var i2 = 0
+      var cont = true
+      while (cont) {
+        val l = 2 * i2 + 1; val r = l + 1
+        var m = i2
+        if (l < hn && sc.heapW(l) < sc.heapW(m)) m = l
+        if (r < hn && sc.heapW(r) < sc.heapW(m)) m = r
+        if (m == i2) cont = false
+        else {
+          val tw = sc.heapW(m); sc.heapW(m) = sc.heapW(i2); sc.heapW(i2) = tw
+          val ts = sc.heapS(m); sc.heapS(m) = sc.heapS(i2); sc.heapS(i2) = ts
+          i2 = m
+        }
+      }
+    }
     var s = 0
     while (s < n) {
+      // fast path: no eps:eps out-arcs => the closure is {s} alone; copy
+      // arcs and final verbatim (the overwhelmingly common case — only
+      // glue states carry eps:eps)
+      var hasEps = false
+      var k0 = off(s)
+      val k0Hi = off(s + 1)
+      while (k0 < k0Hi && !hasEps) {
+        if (il(k0) == Label.Eps && ol(k0) == Label.Eps) hasEps = true
+        k0 += 1
+      }
+      if (!hasEps) {
+        k0 = off(s)
+        while (k0 < k0Hi) { b.addArc(s, il(k0), ol(k0), wt(k0), ds(k0)); k0 += 1 }
+        if (finW(s) != Double.PositiveInfinity) b.setFinal(s, finW(s))
+        s += 1
+      } else {
       // eps-closure from s (Dijkstra over eps:eps arcs; weights >= 0)
-      pq.clear(); members.n = 0
+      hn = 0; members.n = 0
       dist(s) = 0.0; seen(s) = s; members.add(s)
-      pq.enqueue((0.0, s))
+      hpush(0.0, s)
       var newFin = Double.PositiveInfinity
-      while (pq.nonEmpty) {
-        val (d, u) = pq.dequeue()
+      while (hn > 0) {
+        hpop()
+        val d = popW; val u = popS
         if (seen(u) == s && d <= dist(u) + 1e-15) {
           if (finW(u) != Double.PositiveInfinity && d + finW(u) < newFin)
             newFin = d + finW(u)
@@ -234,9 +319,9 @@ final class Wfst private (
               val nd = d + wt(k)
               val t = ds(k)
               if (seen(t) != s) {
-                seen(t) = s; dist(t) = nd; members.add(t); pq.enqueue((nd, t))
+                seen(t) = s; dist(t) = nd; members.add(t); hpush(nd, t)
               } else if (nd < dist(t) - 1e-15) {
-                dist(t) = nd; pq.enqueue((nd, t))
+                dist(t) = nd; hpush(nd, t)
               }
             }
             k += 1
@@ -258,8 +343,9 @@ final class Wfst private (
       }
       if (newFin != Double.PositiveInfinity) b.setFinal(s, newFin)
       s += 1
+      }
     }
-    b.result(start).connect
+    if (trim) b.result(start).connect else b.result(start)
   }
 
   /** Trim states not reachable from start or not co-reachable to a final
@@ -666,7 +752,12 @@ final class Wfst private (
     * shared tape — true everywhere in this pipeline (left inputs are
     * rmEpsilon'd first, cf. SURVEY.md §2 row B5). `that` must be arcSort'd.
     * Result is trimmed (connect). */
-  def compose(that: Wfst): Wfst = {
+  def compose(that: Wfst): Wfst = compose(that, trim = true)
+
+  /** `trim = false` skips the coaccessibility pass (fused connect):
+    * correct whenever the result immediately feeds `prune`, which drops
+    * non-coaccessible states itself (their backward distance is +inf). */
+  def compose(that: Wfst, trim: Boolean): Wfst = {
     if (this.numStates == 0 || that.numStates == 0) return Wfst.emptyFst
     val sc = Wfst.scratch.get()
     val stateIds = sc.map; stateIds.clear()
@@ -731,7 +822,7 @@ final class Wfst private (
       sc.rangeLen(head) = sink.n - from
       head += 1
     }
-    assembleTrimmed(sc, nStates, that)
+    assembleTrimmed(sc, nStates, that, trim)
   }
 
   /** Build the trimmed (connected) machine straight from the scratch
@@ -741,9 +832,54 @@ final class Wfst private (
     * Forward reachability is by construction (states are only created
     * when an arc reaches them). Renumbering is ascending discovery
     * order — identical to the old connect output. */
-  private def assembleTrimmed(sc: Scratch, nStates: Int, that: Wfst): Wfst = {
+  private def assembleTrimmed(sc: Scratch, nStates: Int, that: Wfst,
+      trim: Boolean = true): Wfst = {
     if (nStates == 0) return Wfst.emptyFst
     val sink = sc.sink
+    if (!trim) {
+      // exact-size CSR copy with identity numbering — no coaccessibility
+      // pass (the caller guarantees a following prune / start-rooted
+      // exploration makes dead states harmless)
+      val nOff = new Array[Int](nStates + 1)
+      var s = 0
+      while (s < nStates) { nOff(s + 1) = nOff(s) + sc.rangeLen(s); s += 1 }
+      val m = nOff(nStates)
+      val nIl = new Array[Int](m); val nOl = new Array[Int](m)
+      val nWt = new Array[Double](m); val nDs = new Array[Int](m)
+      s = 0
+      while (s < nStates) {
+        var src = sc.rangeStart(s)
+        var dst = nOff(s)
+        val end = src + sc.rangeLen(s)
+        while (src < end) {
+          nIl(dst) = sink.il(src); nOl(dst) = sink.ol(src)
+          nWt(dst) = sink.wt(src); nDs(dst) = sink.ds(src)
+          src += 1; dst += 1
+        }
+        s += 1
+      }
+      val thisFin = this.finalWeightDense
+      val thatFin = that.finalWeightDense
+      var fCount = 0
+      var i = 0
+      while (i < nStates) {
+        val wa = thisFin(sc.pairA(i))
+        if (!wa.isInfinity && !thatFin(sc.pairB(i)).isInfinity) fCount += 1
+        i += 1
+      }
+      val fs = new Array[Int](fCount); val fw = new Array[Double](fCount)
+      var fi = 0
+      i = 0
+      while (i < nStates) {
+        val wa = thisFin(sc.pairA(i))
+        if (!wa.isInfinity) {
+          val wb = thatFin(sc.pairB(i))
+          if (!wb.isInfinity) { fs(fi) = i; fw(fi) = wa + wb; fi += 1 }
+        }
+        i += 1
+      }
+      return new Wfst(0, nStates, nOff, nIl, nOl, nWt, nDs, fs, fw)
+    }
     // reverse CSR over live ranges
     sc.indeg = Scratch.ensureInt(sc.indeg, nStates)
     java.util.Arrays.fill(sc.indeg, 0, nStates, 0)
@@ -771,17 +907,31 @@ final class Wfst private (
       }
       s += 1
     }
+    // per-state product final weight, computed ONCE into scratch (dense
+    // lookups — no per-state binarySearch; sc.bwd is free here)
+    sc.bwd = Scratch.ensureDouble(sc.bwd, nStates)
+    val finW = sc.bwd
+    val thisFin = this.finalWeightDense
+    val thatFin = that.finalWeightDense
+    var i = 0
+    while (i < nStates) {
+      val wa = thisFin(sc.pairA(i))
+      finW(i) =
+        if (wa.isInfinity) wa
+        else {
+          val wb = thatFin(sc.pairB(i))
+          if (wb.isInfinity) Double.PositiveInfinity else wa + wb
+        }
+      i += 1
+    }
     // coaccessibility from product-final states
     sc.mark = Scratch.ensureBool(sc.mark, nStates)
     java.util.Arrays.fill(sc.mark, 0, nStates, false)
     sc.stack = Scratch.ensureInt(sc.stack, nStates)
     var sp = 0
-    var i = 0
+    i = 0
     while (i < nStates) {
-      if (!this.finalWeight(sc.pairA(i)).isInfinity &&
-          !that.finalWeight(sc.pairB(i)).isInfinity) {
-        sc.mark(i) = true; sc.stack(sp) = i; sp += 1
-      }
+      if (!finW(i).isInfinity) { sc.mark(i) = true; sc.stack(sp) = i; sp += 1 }
       i += 1
     }
     while (sp > 0) {
@@ -837,20 +987,15 @@ final class Wfst private (
     var fCount = 0
     i = 0
     while (i < nStates) {
-      if (sc.mark(i) && !this.finalWeight(sc.pairA(i)).isInfinity &&
-          !that.finalWeight(sc.pairB(i)).isInfinity) fCount += 1
+      if (sc.mark(i) && !finW(i).isInfinity) fCount += 1
       i += 1
     }
     val fs = new Array[Int](fCount); val fw = new Array[Double](fCount)
     var fi = 0
     i = 0
     while (i < nStates) {
-      if (sc.mark(i)) {
-        val wa = this.finalWeight(sc.pairA(i))
-        if (!wa.isInfinity) {
-          val wb = that.finalWeight(sc.pairB(i))
-          if (!wb.isInfinity) { fs(fi) = sc.remap(i); fw(fi) = wa + wb; fi += 1 }
-        }
+      if (sc.mark(i) && !finW(i).isInfinity) {
+        fs(fi) = sc.remap(i); fw(fi) = finW(i); fi += 1
       }
       i += 1
     }
@@ -869,7 +1014,11 @@ final class Wfst private (
     * weights all its prefixes are <= maxWeight too. This is the
     * beam-during-search that keeps dense error models (10^4+ confusion
     * types) from exploding the per-window product. */
-  def composeBounded(that: Wfst, maxWeight: Double): Wfst = {
+  def composeBounded(that: Wfst, maxWeight: Double): Wfst =
+    composeBounded(that, maxWeight, trim = true)
+
+  /** `trim = false` as in `compose(that, trim)`. */
+  def composeBounded(that: Wfst, maxWeight: Double, trim: Boolean): Wfst = {
     if (this.numStates == 0 || that.numStates == 0) return Wfst.emptyFst
     val lim = maxWeight + 1e-9
     val sc = Wfst.scratch.get()
@@ -966,7 +1115,7 @@ final class Wfst private (
       sc.rangeStart(cur) = from
       sc.rangeLen(cur) = emitted
     }
-    assembleTrimmed(sc, nStates, that)
+    assembleTrimmed(sc, nStates, that, trim)
   }
 
   // ---------------------------------------------------------------- decoding

@@ -92,6 +92,33 @@ class WfstPropertySpec extends AnyFunSuite {
     Gen.chooseNum(0, 12).flatMap(n =>
       Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c', 'd', ' ', 'ſ', 'ä')))
 
+  test("scratch isolation: 16 threads composing/pruning concurrently agree with serial") {
+    // the hot path reuses ThreadLocal scratch buffers (Wfst.Scratch);
+    // this hammers compose/prune/rmEpsilon from many threads at once and
+    // asserts bit-identical results vs the serial run — any cross-call
+    // aliasing of scratch into results, or stale-prefix reads, diverges
+    val maps = samples(stringMapGen, 48)
+    val rights = samples(stringMapGen, 48).map(m => Wfst.fromStrings(m).arcSort)
+    def run(i: Int): Seq[(String, String, Double)] = {
+      val f = Wfst.fromStrings(maps(i))
+      f.compose(rights(i)).projectOutput.prune(2.0).rmEpsilon
+        .paths().sortBy(p => (p._1, p._2, p._3))
+    }
+    val serial = (0 until 48).map(run)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      val futures = (0 until 48).flatMap(i => (0 until 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[(Int, Seq[(String, String, Double)])] {
+          def call() = (i, run(i))
+        })
+      })
+      futures.foreach { fu =>
+        val (i, got) = fu.get()
+        assert(got == serial(i), s"case $i diverged under concurrency")
+      }
+    } finally pool.shutdown()
+  }
+
   test("aligner: projections reproduce inputs; gap-free positions equal chars") {
     forAll(anyString, anyString) { (a, b) =>
       val al = Aligner.align(a, b)
