@@ -46,9 +46,10 @@ private[wfst] final class Scratch {
   var remap = new Array[Int](1 << 10)
   var fwd = new Array[Double](1 << 10)
   var bwd = new Array[Double](1 << 10)
-  // primitive binary min-heap (rmEpsilon closures; scala PriorityQueue
-  // routes every enqueue through Seq+addAll+iterator and boxes tuples)
-  var heapW = new Array[Double](256)
+  // rmEpsilon closure FIFO (SPFA relaxation; scala PriorityQueue was
+  // tried first — it routes every enqueue through Seq+addAll+iterator
+  // and boxes tuples — then a primitive heap, but closures are tiny
+  // glue chains and plain FIFO relaxation beat both)
   var heapS = new Array[Int](256)
 
   def growStates(n: Int): Unit = if (n > pairA.length) {
@@ -247,42 +248,17 @@ final class Wfst private (
     val seen = sc.indeg // stamp per source state
     java.util.Arrays.fill(seen, 0, n, -1)
     val members = new IntList(16)
-    // primitive binary min-heap on (weight, state)
-    var hn = 0
-    def hpush(w: Double, st: Int): Unit = {
-      if (hn == sc.heapW.length) {
-        sc.heapW = java.util.Arrays.copyOf(sc.heapW, hn << 1)
-        sc.heapS = java.util.Arrays.copyOf(sc.heapS, hn << 1)
-      }
-      var i2 = hn; hn += 1
-      sc.heapW(i2) = w; sc.heapS(i2) = st
-      while (i2 > 0 && sc.heapW((i2 - 1) >> 1) > sc.heapW(i2)) {
-        val p = (i2 - 1) >> 1
-        val tw = sc.heapW(p); sc.heapW(p) = sc.heapW(i2); sc.heapW(i2) = tw
-        val ts = sc.heapS(p); sc.heapS(p) = sc.heapS(i2); sc.heapS(i2) = ts
-        i2 = p
-      }
-    }
-    var popW = 0.0
-    var popS = 0
-    def hpop(): Unit = {
-      popW = sc.heapW(0); popS = sc.heapS(0)
-      hn -= 1
-      sc.heapW(0) = sc.heapW(hn); sc.heapS(0) = sc.heapS(hn)
-      var i2 = 0
-      var cont = true
-      while (cont) {
-        val l = 2 * i2 + 1; val r = l + 1
-        var m = i2
-        if (l < hn && sc.heapW(l) < sc.heapW(m)) m = l
-        if (r < hn && sc.heapW(r) < sc.heapW(m)) m = r
-        if (m == i2) cont = false
-        else {
-          val tw = sc.heapW(m); sc.heapW(m) = sc.heapW(i2); sc.heapW(i2) = tw
-          val ts = sc.heapS(m); sc.heapS(m) = sc.heapS(i2); sc.heapS(i2) = ts
-          i2 = m
-        }
-      }
+    // FIFO relaxation over each eps-closure (SPFA). Closures here are
+    // tiny glue chains; a Dijkstra heap's sift traffic dominated the
+    // profile, while SPFA converges in one or two passes and needs no
+    // ordering structure. Weights >= 0 and the machine is finite, so
+    // relaxation terminates.
+    var qh = 0
+    var qt = 0
+    def qpush(t: Int): Unit = {
+      if (qt == sc.heapS.length)
+        sc.heapS = java.util.Arrays.copyOf(sc.heapS, qt << 1)
+      sc.heapS(qt) = t; qt += 1
     }
     var s = 0
     while (s < n) {
@@ -302,31 +278,35 @@ final class Wfst private (
         if (finW(s) != Double.PositiveInfinity) b.setFinal(s, finW(s))
         s += 1
       } else {
-      // eps-closure from s (Dijkstra over eps:eps arcs; weights >= 0)
-      hn = 0; members.n = 0
+      // eps-closure from s (FIFO relaxation over eps:eps arcs)
+      qh = 0; qt = 0; members.n = 0
       dist(s) = 0.0; seen(s) = s; members.add(s)
-      hpush(0.0, s)
-      var newFin = Double.PositiveInfinity
-      while (hn > 0) {
-        hpop()
-        val d = popW; val u = popS
-        if (seen(u) == s && d <= dist(u) + 1e-15) {
-          if (finW(u) != Double.PositiveInfinity && d + finW(u) < newFin)
-            newFin = d + finW(u)
-          var k = off(u)
-          while (k < off(u + 1)) {
-            if (il(k) == Label.Eps && ol(k) == Label.Eps) {
-              val nd = d + wt(k)
-              val t = ds(k)
-              if (seen(t) != s) {
-                seen(t) = s; dist(t) = nd; members.add(t); hpush(nd, t)
-              } else if (nd < dist(t) - 1e-15) {
-                dist(t) = nd; hpush(nd, t)
-              }
+      qpush(s)
+      while (qh < qt) {
+        val u = sc.heapS(qh); qh += 1
+        val d = dist(u)
+        var k = off(u)
+        while (k < off(u + 1)) {
+          if (il(k) == Label.Eps && ol(k) == Label.Eps) {
+            val nd = d + wt(k)
+            val t = ds(k)
+            if (seen(t) != s) {
+              seen(t) = s; dist(t) = nd; members.add(t); qpush(t)
+            } else if (nd < dist(t) - 1e-15) {
+              dist(t) = nd; qpush(t)
             }
-            k += 1
           }
+          k += 1
         }
+      }
+      // closure final weight from the converged distances
+      var newFin = Double.PositiveInfinity
+      var mi0 = 0
+      while (mi0 < members.n) {
+        val t = members.a(mi0)
+        if (finW(t) != Double.PositiveInfinity && dist(t) + finW(t) < newFin)
+          newFin = dist(t) + finW(t)
+        mi0 += 1
       }
       // emit non-eps arcs of every closure member, weighted by distance
       var mi = 0
