@@ -130,6 +130,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(!cached.isEmpty, "expected the per-shingle aggregate to be cached")
   }
 
+  test("plan shape: tpch top-customers broadcasts dims; window is partitioned") {
+    val plan = Analytics.qTpchTopCustomers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty, plan)
+    assert(windowLines.forall(_.contains("n_name")),
+      s"rank window must be PARTITIONED by nation, not global:\n$plan")
+  }
+
   test("plan shape: filter pushdown reaches the parquet scan") {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(s"$sf/documents.parquet")

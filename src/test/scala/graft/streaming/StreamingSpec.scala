@@ -64,4 +64,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("oracled q_events_window mirrors the streaming agg (same buckets, cents vs double)") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = StreamingCorrection.eventWindowAgg(
+      spark.read.parquet(s"$dir/events.parquet")).collect()
+      .map(r => ((r.getTimestamp(0).getTime / 1000, r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val mirror = graft.queries.Analytics.qEventsWindow(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(batch.keySet == mirror.keySet)
+    assert(mirror.nonEmpty)
+    mirror.foreach { case (k, (n, cents)) =>
+      val (bn, btot) = batch(k)
+      assert(bn == n, s"count mismatch at $k")
+      // the battery query folds to integer cents per row; the streaming
+      // agg sums raw doubles — equal up to accumulated rounding
+      assert(math.abs(btot - cents / 100.0) < 0.5, s"total mismatch at $k")
+    }
+  }
 }
