@@ -43,6 +43,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Queries.qDedupExact(_, _)),
     "q_dedup_minhash" -> (Queries.qDedupMinhash(_, _)),
     "q_ngram_jaccard" -> (Queries.qNgramJaccard(_, _)),
+    "q_dedup_embed" -> (Queries.qDedupEmbed(_, _)),
     "q_simhash" -> (Queries.qSimhash(_, _)),
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),

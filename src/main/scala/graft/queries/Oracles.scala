@@ -228,6 +228,27 @@ object Oracles {
        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
   }
 
+  val qDedupEmbed: String = {
+    val sig = TextOps.lshSigDuckSql("emb", dim = 64)
+    s"""WITH sigs AS (
+       |  SELECT vec_id, emb, $sig AS sig
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) t
+       |), banded AS (
+       |  SELECT vec_id, emb, b.band,
+       |    CASE WHEN b.band = 0 THEN sig % 256 ELSE sig // 256 END AS bval
+       |  FROM sigs, (SELECT unnest([0,1]) AS band) b
+       |), pairs AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb, a.emb AS ea, b.emb AS eb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+       |)
+       |SELECT ida, idb,
+       |  round(list_dot_product(ea, eb)
+       |    / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))), 4) AS cos
+       |FROM pairs
+       |ORDER BY cos DESC, ida ASC, idb ASC LIMIT 20""".stripMargin
+  }
+
   // ---------------------------------------------------------- analytics
   // Money aggregates are integer CENTS (per-row round, then integer sum)
   // so the values are independent of partial-aggregation order — see
@@ -301,6 +322,7 @@ object Oracles {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_ann_cosine" -> qAnnCosine,
     "q_ann_lsh" -> qAnnLsh,
+    "q_dedup_embed" -> qDedupEmbed,
     "q_simhash" -> qSimhash,
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,

@@ -403,6 +403,37 @@ object Queries {
       .orderBy(desc("cos"), asc("vec_id")).limit(10)
   }
 
+  /** Embedding-cosine near-dup (the dedup family's scale path over
+    * vectors): 16-bit LSH signatures split into two 8-bit bands; only
+    * pairs colliding in some band are scored (sf0.01: 1,079 candidates
+    * vs 124,750 all-pairs — a 115x cut; at 100 TB the band join is the
+    * one shuffle and adversarial bucket sizes would get a df-cut like
+    * qNgramJaccard's). Output: top-20 candidate pairs by exact cosine
+    * (the synthetic corpus has no true near-dups, so a threshold form
+    * would be vacuous; the ranked form exercises the same plan). */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigSql = TextOps.lshSigSparkSql("embedding", dim = 64)
+    val banded = s.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding", expr(sigSql).as("sig"))
+      .select($"vec_id", $"embedding",
+        expr("""stack(2, 0, CAST(sig % 256 AS INT),
+                         1, CAST(sig div 256 AS INT)) AS (band, bval)"""))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("ida"), $"b.vec_id".as("idb"),
+        $"a.embedding".as("ea"), $"b.embedding".as("eb"))
+      .dropDuplicates("ida", "idb") // a pair may collide in both bands
+    val dot = "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    def nrm(c: String) =
+      s"sqrt(aggregate($c, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    pairs.select($"ida", $"idb",
+        round(expr(s"$dot / (${nrm("ea")} * ${nrm("eb")})"), 4).as("cos"))
+      .orderBy(desc("cos"), asc("ida"), asc("idb")).limit(20)
+  }
+
   /** Multimodal plumbing (rows-only): synthesize media for a Doc table
     * derived from documents, decode (stub) + extract features. */
   def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
