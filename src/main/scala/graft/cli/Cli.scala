@@ -1,0 +1,225 @@
+package graft.cli
+
+import graft.align.Distance
+import graft.correct.{CompiledModel, Corrector}
+import graft.pipeline.CorrectionJob
+import graft.sources.{ModelIO, Sources}
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Command-line parity with the reference's three entry points
+  * (`cor-asv-fst-train` / `-process` / `-evaluate`,
+  * scripts/train.py, process.py, evaluate.py) so a reference user can
+  * switch by swapping the binary: same flags where they exist, Spark
+  * parallelism replacing the fork pool (-Q processes -> local[Q]).
+  * Flag parsing is a minimal key-value scan (no argparse dependency). */
+object CliArgs {
+  def parse(args: Array[String], aliases: Map[String, String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val k0 = args(i)
+      val k = aliases.getOrElse(k0, k0.stripPrefix("--"))
+      if (k0.startsWith("-")) {
+        if (i + 1 < args.length && !args(i + 1).startsWith("-")) {
+          m(k) = args(i + 1); i += 2
+        } else { m(k) = "true"; i += 1 } // boolean flag
+      } else i += 1
+    }
+    m.toMap
+  }
+
+  /** Returns (session, owned): an existing live session is reused and
+    * NOT stopped by the CLI (so the mains are callable in-process, e.g.
+    * from tests or a surrounding job, without killing the caller's
+    * session). */
+  def spark(parallelism: Int): (SparkSession, Boolean) = {
+    SparkSession.getDefaultSession.filter(!_.sparkContext.isStopped) match {
+      case Some(s) => (s, false)
+      case None =>
+        val s = SparkSession.builder()
+          .master(s"local[$parallelism]")
+          .config("spark.sql.shuffle.partitions", parallelism)
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        (s, true)
+    }
+  }
+
+  /** Spark writes a directory of part files; the reference CLIs write a
+    * single TSV — move the single part into place. */
+  def writeSingleTsv(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val tmp = path + ".sparktmp"
+    df.coalesce(1).write.mode("overwrite").option("sep", "\t").csv(tmp)
+    val listed = Files.list(Paths.get(tmp))
+    val part =
+      try listed.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      finally listed.close()
+    Files.move(part, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+    val rest = Files.walk(Paths.get(tmp))
+    try {
+      import scala.jdk.CollectionConverters._
+      rest.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    } finally rest.close()
+  }
+}
+
+/** cor-asv-fst-train (scripts/train.py): train lexicon + error model
+  * from (OCR, GT) pairs; write FST model files.
+  *
+  * Flags: -t/--training-file pairs TSV (ocr TAB gt) | -i/--input-file +
+  * -g/--gt-file keyed TSVs joined on line id; -w/--wordlist-file;
+  * -l/--lexicon-file OUT; -e/--error-model-file OUT; -M/--model-file
+  * OUT (combined compiled model); -C/--max-context; -E/--max-errors;
+  * -p/--preserve-punctuation; -D/--composition-depth (words/window);
+  * -Q parallelism. */
+object Train {
+  def main(args: Array[String]): Unit = {
+    val a = CliArgs.parse(args, Map(
+      "-t" -> "training-file", "-i" -> "input-file", "-g" -> "gt-file",
+      "-w" -> "wordlist-file", "-l" -> "lexicon-file",
+      "-e" -> "error-model-file", "-M" -> "model-file",
+      "-C" -> "max-context", "-E" -> "max-errors",
+      "-p" -> "preserve-punctuation", "-D" -> "composition-depth",
+      "-Q" -> "processes"))
+    val (spark, owned) = CliArgs.spark(a.getOrElse("processes", "4").toInt)
+    import spark.implicits._
+    try {
+      val pairs: org.apache.spark.sql.Dataset[(String, String)] =
+        a.get("training-file") match {
+          case Some(f) =>
+            // two-column (OCR, GT) — scripts/train.py -t
+            Sources.loadPairsFromFile(spark, f)
+              .select("line_id", "text").as[(String, String)]
+          case None =>
+            val ocr = Sources.loadPairsFromFile(spark, a("input-file"))
+              .toDF("line_id", "ocr")
+            val gt = Sources.loadPairsFromFile(spark, a("gt-file"))
+              .toDF("line_id", "gt")
+            // the reference's keyed inner join (train.py:119-130)
+            ocr.join(gt, Seq("line_id"), "inner")
+              .select("ocr", "gt").as[(String, String)]
+        }
+      val wordlist: Map[String, Long] = a.get("wordlist-file")
+        .map(f => Sources.loadWordlist(spark, f)
+          .as[(String, Long)].collect().toMap)
+        .getOrElse(Map.empty)
+      val model = CompiledModel.trainSpark(spark, pairs, wordlist,
+        maxContext = a.getOrElse("max-context", "3").toInt,
+        maxErrors = a.getOrElse("max-errors", "3").toInt,
+        wordsPerWindow = a.getOrElse("composition-depth", "3").toInt,
+        preservePunct = a.contains("preserve-punctuation"))
+      a.get("error-model-file").foreach(f =>
+        ModelIO.saveFst(model.errorFst.get, f))
+      a.get("lexicon-file").foreach(f => ModelIO.saveFst(model.windowFst, f))
+      a.get("model-file").foreach(f => ModelIO.saveModel(model, f))
+      println(s"trained on ${pairs.count()} pairs" +
+        s"; error arcs=${model.errorFst.map(_.numArcs).getOrElse(0)}" +
+        s"; window-lexicon arcs=${model.windowFst.numArcs}")
+    } finally if (owned) spark.stop()
+  }
+}
+
+/** cor-asv-fst-process (scripts/process.py): batch-correct a keyed TSV.
+  *
+  * Flags: -M/--model-file (combined; or -l + -e FST files);
+  * -i/--input-file keyed TSV in; -o/--output-file keyed TSV out;
+  * -P/--pruning-weight; -J/--rejection-weight (-W accepted for
+  * reference-CLI compatibility but inert: the window closure is baked
+  * into the lexicon FST at train time, CompiledModel.windowFstFrom);
+  * -Q/--processes (Spark local parallelism — the fork-pool analogue). */
+object Process {
+  def main(args: Array[String]): Unit = {
+    val a = CliArgs.parse(args, Map(
+      "-M" -> "model-file", "-l" -> "lexicon-file",
+      "-e" -> "error-model-file", "-i" -> "input-file",
+      "-o" -> "output-file", "-W" -> "words-per-window",
+      "-P" -> "pruning-weight", "-J" -> "rejection-weight",
+      "-Q" -> "processes"))
+    val (spark, owned) = CliArgs.spark(a.getOrElse("processes", "4").toInt)
+    import spark.implicits._
+    try {
+      val base = a.get("model-file") match {
+        case Some(f) => ModelIO.loadModel(f)
+        case None => CompiledModel(
+          errorFst = a.get("error-model-file").map(ModelIO.loadFst),
+          windowFst = ModelIO.loadFst(a("lexicon-file")))
+      }
+      val model = base.copy(
+        pruningWeight = a.get("pruning-weight").map(_.toDouble)
+          .getOrElse(base.pruningWeight),
+        rejectionWeight = a.get("rejection-weight").map(_.toDouble)
+          .getOrElse(base.rejectionWeight))
+      val bc = CorrectionJob.broadcastModel(spark, model)
+      val in = Sources.loadPairsFromFile(spark, a("input-file"))
+        .as[(String, String)]
+      val out = in.mapPartitions { it =>
+        val m = bc.value
+        val cache = graft.correct.SharedWindowCache.forModel(m)
+        it.map { case (id, line) =>
+          (id, Corrector.correctLine(line, m, cache))
+        }
+      }.toDF("line_id", "text").orderBy($"line_id")
+      CliArgs.writeSingleTsv(out, a("output-file"))
+      println(s"corrected ${in.count()} lines -> ${a("output-file")}")
+    } finally if (owned) spark.stop()
+  }
+}
+
+/** cor-asv-fst-evaluate (scripts/evaluate.py): join OCR/corrected/GT
+  * keyed TSVs and print the reference's aggregate metrics.
+  *
+  * Flags: -i/--input-file OCR; -o/--output-file corrected; -g/--gt-file
+  * GT; -M/--metric in {Levenshtein, combining-e-umlauts,
+  * precision-recall} (default combining-e-umlauts, evaluate.py:234). */
+object Evaluate {
+  def main(args: Array[String]): Unit = {
+    val a = CliArgs.parse(args, Map(
+      "-i" -> "input-file", "-o" -> "output-file", "-g" -> "gt-file",
+      "-M" -> "metric", "-Q" -> "processes"))
+    val metric = a.getOrElse("metric", "combining-e-umlauts")
+    val (spark, owned) = CliArgs.spark(a.getOrElse("processes", "4").toInt)
+    import spark.implicits._
+    try {
+      val ocr = Sources.loadPairsFromFile(spark, a("input-file")).toDF("line_id", "ocr")
+      val cor = Sources.loadPairsFromFile(spark, a("output-file")).toDF("line_id", "cor")
+      val gt = Sources.loadPairsFromFile(spark, a("gt-file")).toDF("line_id", "gt")
+      // GT keys drive the triplets (evaluate.py:274-286)
+      val trip = gt.join(ocr, Seq("line_id")).join(cor, Seq("line_id"))
+        .select($"ocr", $"cor", $"gt").as[(String, String, String)]
+      metric match {
+        case "Levenshtein" =>
+          val (eo, lo, ec, lc) = trip.map { case (o, c, g) =>
+            (Distance.levenshtein(o, g).toLong, g.length.toLong,
+              Distance.levenshtein(c, g).toLong, g.length.toLong)
+          }.reduce((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3, x._4 + y._4))
+          println(s"Aggregate CER OCR:        ${eo.toDouble / lo}")
+          println(s"Aggregate CER Corrected:  ${ec.toDouble / lc}")
+        case "combining-e-umlauts" =>
+          val (eo, lo, ec, lc) = trip.map { case (o, c, g) =>
+            val (d1, l1) = Distance.adjustedDistance(o, g)
+            val (d2, l2) = Distance.adjustedDistance(c, g)
+            (d1, l1.toLong, d2, l2.toLong)
+          }.reduce((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3, x._4 + y._4))
+          println(s"Aggregate CER OCR:        ${eo / lo}")
+          println(s"Aggregate CER Corrected:  ${ec / lc}")
+        case "precision-recall" =>
+          val (tp, tn, fp, fn) = trip.map { case (o, c, g) =>
+            Distance.precisionRecall(o, c, g)
+          }.reduce((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3, x._4 + y._4))
+          val precision = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+          val recall = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+          val f1 = 2.0 * tp / (2.0 * tp + fp + fn)
+          val tpr = recall
+          val fpr = if (fp + tn == 0) 0.0 else fp.toDouble / (fp + tn)
+          val auc = 0.5 * tpr * fpr + tpr * (1 - fpr) + 0.5 * (1 - tpr) * (1 - fpr)
+          println(f"Aggregate precision: $precision%.3f / recall: $recall%.3f / F1: $f1%.3f")
+          println(f"Aggregate true-positive-rate: $tpr%.3f / false-positive-rate: $fpr%.3f / AUC: $auc%.3f")
+        case other =>
+          throw new IllegalArgumentException(s"unknown metric: $other")
+      }
+    } finally if (owned) spark.stop()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.cli
+
+import graft.Fixtures
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** End-to-end CLI parity: train -> process -> evaluate over keyed TSV
+  * files, the reference's cor-asv-fst-{train,process,evaluate} flow. */
+class CliSpec extends AnyFunSuite {
+
+  // hold a session so the mains reuse it (owned = false) instead of
+  // stopping the suite-wide SparkSession between calls
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+
+  test("train -> process -> evaluate round trip on fixture pairs") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-cli").toString
+    // training TSV: ocr TAB gt (scripts/train.py -t format)
+    val trainTsv = s"$dir/train.tsv"
+    Files.writeString(Paths.get(trainTsv),
+      Fixtures.trainingPairs.map { case (o, g) => s"$o\t$g" }.mkString("\n"))
+    val modelFile = s"$dir/model.bin"
+    Train.main(Array("-t", trainTsv, "-M", modelFile, "-Q", "4"))
+    assert(Files.exists(Paths.get(modelFile)))
+
+    // input TSV: line_id TAB ocr-line
+    val inTsv = s"$dir/in.tsv"
+    Files.writeString(Paths.get(inTsv),
+      "l1\tih niht weiß\nl2\tnicht zu bringen")
+    val outTsv = s"$dir/out.tsv"
+    Process.main(Array("-M", modelFile, "-i", inTsv, "-o", outTsv, "-Q", "4"))
+    val out = Files.readString(Paths.get(outTsv)).trim.linesIterator
+      .map(_.split("\t")).map(a => a(0) -> a(1)).toMap
+    assert(out("l1") == "ich nicht weiß", out)
+    assert(out("l2") == "nicht zu bringen")
+
+    // evaluate: gt TSV + captured stdout
+    val gtTsv = s"$dir/gt.tsv"
+    Files.writeString(Paths.get(gtTsv),
+      "l1\tich nicht weiß\nl2\tnicht zu bringen")
+    def captured(metric: String): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        Evaluate.main(Array("-i", inTsv, "-o", outTsv, "-g", gtTsv,
+          "-M", metric, "-Q", "4"))
+      }
+      bos.toString("UTF-8")
+    }
+    val lev = captured("Levenshtein")
+    assert(lev.contains("Aggregate CER OCR:"), lev)
+    // perfect correction => corrected CER 0.0
+    assert(lev.linesIterator.exists(l =>
+      l.startsWith("Aggregate CER Corrected:") && l.trim.endsWith("0.0")), lev)
+    val pr = captured("precision-recall")
+    assert(pr.contains("Aggregate precision: 1.000 / recall: 1.000"), pr)
+    val adj = captured("combining-e-umlauts")
+    assert(adj.contains("Aggregate CER Corrected:  0.0"), adj)
+  }
+}
