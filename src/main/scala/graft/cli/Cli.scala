@@ -74,7 +74,8 @@ object CliArgs {
   * -l/--lexicon-file OUT; -e/--error-model-file OUT; -M/--model-file
   * OUT (combined compiled model); -C/--max-context; -E/--max-errors;
   * -p/--preserve-punctuation; -D/--composition-depth (words/window);
-  * -Q parallelism. */
+  * -T/--error-model-type simple|st; --lexicon-added-word-cost;
+  * --unweighted-lexicon; -Q parallelism. */
 object Train {
   def main(args: Array[String]): Unit = {
     val a = CliArgs.parse(args, Map(
@@ -83,7 +84,7 @@ object Train {
       "-e" -> "error-model-file", "-M" -> "model-file",
       "-C" -> "max-context", "-E" -> "max-errors",
       "-p" -> "preserve-punctuation", "-D" -> "composition-depth",
-      "-Q" -> "processes"))
+      "-T" -> "error-model-type", "-Q" -> "processes"))
     val (spark, owned) = CliArgs.spark(a.getOrElse("processes", "4").toInt)
     import spark.implicits._
     try {
@@ -110,7 +111,10 @@ object Train {
         maxContext = a.getOrElse("max-context", "3").toInt,
         maxErrors = a.getOrElse("max-errors", "3").toInt,
         wordsPerWindow = a.getOrElse("composition-depth", "3").toInt,
-        preservePunct = a.contains("preserve-punctuation"))
+        preservePunct = a.contains("preserve-punctuation"),
+        errorModelType = a.getOrElse("error-model-type", "simple"),
+        addedWordCost = a.getOrElse("lexicon-added-word-cost", "0").toDouble,
+        unweightedLexicon = a.contains("unweighted-lexicon"))
       a.get("error-model-file").foreach(f =>
         ModelIO.saveFst(model.errorFst.get, f))
       a.get("lexicon-file").foreach(f => ModelIO.saveFst(model.windowFst, f))

@@ -79,7 +79,10 @@ object CompiledModel {
       wordsPerWindow: Int = 3,
       pruningWeight: Double = 5.0,
       rejectionWeight: Double = 1.5,
-      preservePunct: Boolean = false): CompiledModel = {
+      preservePunct: Boolean = false,
+      errorModelType: String = "simple", // "simple" | "st" (train.py -T)
+      addedWordCost: Double = 0.0, // lexicon_to_fst added_word_cost
+      unweightedLexicon: Boolean = false): CompiledModel = {
     import spark.implicits._
     // C2: distributed lexicon counts over GT lines
     val lexRows = pairs.map(_._2).flatMap(LexiconBuilder.lineEmissions)
@@ -95,18 +98,30 @@ object CompiledModel {
     val lexicon = Lexicon(cat(graft.train.Category.OpeningBracket),
       cat(graft.train.Category.ClosingBracket),
       cat(graft.train.Category.Punctuation), cat(graft.train.Category.Words))
-    val lexFst = LexiconBuilder.lexiconToFst(lexicon)
-    // D1: distributed confusion n-gram counts
-    val confRows = pairs.flatMap { case (ocr, gt) =>
-      ErrorModelTrainer.confusionEmissions(ocr, gt, maxContext)
-    }.groupByKey(identity).count().collect()
-    val byN: Map[Int, Map[(String, String), Long]] =
-      (1 to maxContext).map { n =>
-        n -> confRows.collect { case ((`n`, r, g), c) => ((r, g), c) }.toMap
-      }.toMap
-    val singles = (1 to maxContext).map(n =>
-      ErrorModelTrainer.compileSingle(byN(n), preservePunct))
-    val errorFst = ErrorModelTrainer.combineErrorTransducers(singles, maxErrors)
+    val lexFst =
+      LexiconBuilder.lexiconToFst(lexicon, addedWordCost, unweightedLexicon)
+    val errorFst = errorModelType match {
+      case "st" =>
+        // E-rows: EM-fit stochastic transducer (train.py -T st)
+        val st = graft.train.ErrorModelST.fitSpark(spark, pairs,
+          maxN = maxContext, maxNgrams = 1000)
+        val mappings = graft.train.ErrorModelST.matrixToMappings(
+          st.probs, st.ngrams, weightThreshold = 5.0)
+        graft.train.ErrorModelST.compileTransducer(
+          mappings, st.ngrProbs, maxErrors, maxContext)
+      case _ =>
+        // D1: distributed confusion n-gram counts
+        val confRows = pairs.flatMap { case (ocr, gt) =>
+          ErrorModelTrainer.confusionEmissions(ocr, gt, maxContext)
+        }.groupByKey(identity).count().collect()
+        val byN: Map[Int, Map[(String, String), Long]] =
+          (1 to maxContext).map { n =>
+            n -> confRows.collect { case ((`n`, r, g), c) => ((r, g), c) }.toMap
+          }.toMap
+        val singles = (1 to maxContext).map(n =>
+          ErrorModelTrainer.compileSingle(byN(n), preservePunct))
+        ErrorModelTrainer.combineErrorTransducers(singles, maxErrors)
+    }
     CompiledModel(Some(errorFst), windowFstFrom(lexFst, wordsPerWindow),
       pruningWeight, rejectionWeight, 2, wordsPerWindow)
   }

@@ -58,5 +58,15 @@ class CliSpec extends AnyFunSuite {
     assert(pr.contains("Aggregate precision: 1.000 / recall: 1.000"), pr)
     val adj = captured("combining-e-umlauts")
     assert(adj.contains("Aggregate CER Corrected:  0.0"), adj)
+
+    // -T st: EM-fit stochastic-transducer error model end-to-end
+    val stModel = s"$dir/model-st.bin"
+    Train.main(Array("-t", trainTsv, "-M", stModel, "-T", "st",
+      "-C", "2", "-Q", "4"))
+    assert(Files.exists(Paths.get(stModel)))
+    val outSt = s"$dir/out-st.tsv"
+    Process.main(Array("-M", stModel, "-i", inTsv, "-o", outSt, "-Q", "4"))
+    val stLines = Files.readString(Paths.get(outSt)).trim.linesIterator.toSeq
+    assert(stLines.size == 2, stLines)
   }
 }
