@@ -62,6 +62,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("DeserializeToObject"), plan)
   }
 
+  test("SQL function registration: simhash64/hexprefix64 callable from plain SQL") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT simhash64('the quick brown fox') AS h,
+        |       hexprefix64(md5('hello#0')) AS p""".stripMargin).head()
+    assert(row.getLong(0) == TextOps.simhash64("the quick brown fox"))
+    assert(row.getLong(1) == 1052003359986274704L) // int('e99777b6e7fd190',16)
+    // the extensions class builds the same registrations (spark-submit path)
+    assert(GraftFunctions.all.map(_._1).toSet == Set("simhash64", "hexprefix64"))
+    new GraftExtensions() // constructible via reflection by spark.sql.extensions
+  }
+
   test("SimHash64 handles nulls") {
     import spark.implicits._
     val df = Seq(Some("abc"), None).toDF("t")
