@@ -102,12 +102,12 @@ object Oracles {
 
   val qDedupMinhash: String =
     """WITH sh AS (
-      |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS sh
+      |  SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 8)) AS h
       |  FROM documents, LATERAL (SELECT unnest(range(1, length(text)-6)) AS i) u
       |  WHERE length(text) >= 8
       |), sigs AS (
       |  SELECT b.band AS band, doc_id,
-      |    min(CAST(('0x' || substr(md5(sh || '#' || CAST(b.band AS VARCHAR)), 1, 15)) AS BIGINT)) AS sig
+      |    min(CAST(('0x' || substr(h, b.band * 8 + 1, 8)) AS BIGINT)) AS sig
       |  FROM sh, (SELECT unnest([0,1,2,3]) AS band) b
       |  GROUP BY b.band, doc_id
       |)

@@ -277,26 +277,31 @@ object Queries {
       .orderBy($"h")
   }
 
-  /** MinHash/LSH: 4 bands, signature = min over shingles of the first 60
-    * bits of md5(shingle || band), as a BIGINT; bucket sizes per
-    * (band, sig). Deterministic and identical in Spark and DuckDB.
+  /** MinHash/LSH: 4 bands, signature = min over shingles of band b's
+    * 32-bit slice of md5(shingle) (hex chars [8b+1, 8b+8]) as a BIGINT;
+    * bucket sizes per (band, sig). Deterministic and identical in Spark
+    * and DuckDB.
     *
-    * The hash is folded to BIGINT BEFORE the min: min over strings forces
-    * SortAggregate (per-partition sorts on both sides of the shuffle);
-    * min over a fixed-width numeric keeps the partial+final HashAggregate.
-    * The fold is the native HexPrefix64 expression (built-in `conv` does
-    * generic base conversion and measured ~4x slower per shingle). */
+    * ONE md5 per shingle — the 4 band hashes are disjoint slices of the
+    * same 128-bit digest (the earlier md5(sh || '#b') form hashed every
+    * shingle 4x and md5 dominated the query: 216M digests at sf0.1).
+    * 32-bit band values keep min-collision probability at ~2^-32 per
+    * doc-pair-band. Folds to BIGINT BEFORE the min: min over strings
+    * forces SortAggregate; min over a fixed-width numeric keeps the
+    * partial+final HashAggregate. The fold is the native HexPrefix64
+    * expression (built-in `conv` measured ~4x slower). */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.HexPrefix64.hexPrefix64
     // single scan + single shuffle: all 4 band mins in one hash agg,
     // then stack to long form (vs 4x explode+groupBy — 4 shuffles)
     def bandSig(b: Int) =
-      min(hexPrefix64(md5(concat($"sh", lit(s"#$b"))))).as(s"s$b")
+      min(hexPrefix64(substring($"h", b * 8 + 1, 8))).as(s"s$b")
     val sh = docsDf(s, dir).where(length($"text") >= 8)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, length(text)-7), i -> substring(text, i, 8))"))
         .as("sh"))
+      .select($"doc_id", md5($"sh").as("h"))
     val sigs = sh.groupBy($"doc_id")
       .agg(bandSig(0), bandSig(1), bandSig(2), bandSig(3))
     sigs.select($"doc_id",
