@@ -224,8 +224,12 @@ object Corrector {
         .projectOutput
         .prune(model.pruningWeight).rmEpsilon(trim = false)
     }
+    // the final cascade step keeps its eps arcs: nothing composes with
+    // this machine again, and paths()/distinctOutputs skip eps labels —
+    // only the error-model step's rmEpsilon earns its keep (compaction
+    // before the lexicon compose; without it, 2.7x slower)
     w = w.compose(model.windowFst, trim = false).projectOutput
-      .prune(model.pruningWeight).rmEpsilon(trim = false)
+      .prune(model.pruningWeight)
     if (!inputStr.contains(' ')) {
       val len = inputStr.codePointCount(0, inputStr.length)
       w = w.union(Wfst.acceptor(inputStr,
