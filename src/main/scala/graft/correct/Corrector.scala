@@ -219,17 +219,18 @@ object Corrector {
     // paths()/distinctOutputs skip eps labels + dedup) but measured 2.7x
     // SLOWER — the uncollapsed eps chains multiply the next product's
     // state count; rmEpsilon earns its keep as compaction.
+    // compose+project+prune are FUSED (one exact-size materialization
+    // per step; the SPFA's converged distances double as prune's forward
+    // distances — Wfst.assemblePruned)
     for (fst <- model.errorFst) {
-      w = w.composeBounded(fst, model.pruningWeight, trim = false)
-        .projectOutput
-        .prune(model.pruningWeight).rmEpsilon(trim = false)
+      w = w.composeBoundedPruned(fst, model.pruningWeight,
+        model.pruningWeight).rmEpsilon(trim = false)
     }
     // the final cascade step keeps its eps arcs: nothing composes with
     // this machine again, and paths()/distinctOutputs skip eps labels —
     // only the error-model step's rmEpsilon earns its keep (compaction
     // before the lexicon compose; without it, 2.7x slower)
-    w = w.compose(model.windowFst, trim = false).projectOutput
-      .prune(model.pruningWeight)
+    w = w.composePruned(model.windowFst, model.pruningWeight)
     if (!inputStr.contains(' ')) {
       val len = inputStr.codePointCount(0, inputStr.length)
       w = w.union(Wfst.acceptor(inputStr,

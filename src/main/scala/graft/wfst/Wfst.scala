@@ -43,6 +43,7 @@ private[wfst] final class Scratch {
   var order = new Array[Int](1 << 10)
   var revOff = new Array[Int](1 << 10)
   var revSrc = new Array[Int](1 << 12)
+  var revW = new Array[Double](1 << 12) // reverse-arc weights (fused prune)
   var remap = new Array[Int](1 << 10)
   var fwd = new Array[Double](1 << 10)
   var bwd = new Array[Double](1 << 10)
@@ -740,6 +741,22 @@ final class Wfst private (
   def compose(that: Wfst, trim: Boolean): Wfst = {
     if (this.numStates == 0 || that.numStates == 0) return Wfst.emptyFst
     val sc = Wfst.scratch.get()
+    assembleTrimmed(sc, expandProduct(that, sc), that, trim)
+  }
+
+  /** Fused compose -> projectOutput -> prune(pruneTh): the cascade's
+    * lexicon step in ONE exact-size materialization (vs three: product
+    * CSR, projected view, pruned CSR with fresh distance passes). */
+  def composePruned(that: Wfst, pruneTh: Double): Wfst = {
+    if (this.numStates == 0 || that.numStates == 0) return Wfst.emptyFst
+    val sc = Wfst.scratch.get()
+    assemblePruned(sc, expandProduct(that, sc), that, pruneTh,
+      fwdFromSpfa = false)
+  }
+
+  /** Full BFS product expansion into scratch (pairs + arc ranges in the
+    * scratch sink); returns the product state count. */
+  private def expandProduct(that: Wfst, sc: Scratch): Int = {
     val stateIds = sc.map; stateIds.clear()
     val sink = sc.sink; sink.n = 0
     var nStates = 0
@@ -802,7 +819,7 @@ final class Wfst private (
       sc.rangeLen(head) = sink.n - from
       head += 1
     }
-    assembleTrimmed(sc, nStates, that, trim)
+    nStates
   }
 
   /** Build the trimmed (connected) machine straight from the scratch
@@ -1000,8 +1017,26 @@ final class Wfst private (
   /** `trim = false` as in `compose(that, trim)`. */
   def composeBounded(that: Wfst, maxWeight: Double, trim: Boolean): Wfst = {
     if (this.numStates == 0 || that.numStates == 0) return Wfst.emptyFst
-    val lim = maxWeight + 1e-9
     val sc = Wfst.scratch.get()
+    assembleTrimmed(sc, expandBounded(that, maxWeight, sc), that, trim)
+  }
+
+  /** Fused composeBounded -> projectOutput -> prune(pruneTh): the
+    * cascade's error-model step in ONE exact-size materialization; the
+    * SPFA's converged distances double as prune's forward distances. */
+  def composeBoundedPruned(that: Wfst, maxWeight: Double,
+      pruneTh: Double): Wfst = {
+    if (this.numStates == 0 || that.numStates == 0) return Wfst.emptyFst
+    val sc = Wfst.scratch.get()
+    assemblePruned(sc, expandBounded(that, maxWeight, sc), that, pruneTh,
+      fwdFromSpfa = true)
+  }
+
+  /** Weight-bounded SPFA product expansion into scratch; returns the
+    * product state count. sc.dist holds each state's exact shortest
+    * prefix distance on return. */
+  private def expandBounded(that: Wfst, maxWeight: Double, sc: Scratch): Int = {
+    val lim = maxWeight + 1e-9
     val stateIds = sc.map; stateIds.clear()
     // arcs in the scratch sink; per-state (start,len) ranges — a
     // re-expansion appends a fresh range and repoints (stale ranges are
@@ -1095,7 +1130,184 @@ final class Wfst private (
       sc.rangeStart(cur) = from
       sc.rangeLen(cur) = emitted
     }
-    assembleTrimmed(sc, nStates, that, trim)
+    nStates
+  }
+
+  /** Fused projectOutput + prune straight from the scratch product
+    * ranges: equivalent to assemble(trim=false) -> projectOutput ->
+    * prune(th) but with ONE exact-size CSR materialization instead of
+    * two, skipping prune's fresh topo/distance passes. `fwdFromSpfa`:
+    * the bounded expansion's sc.dist already holds exact forward
+    * shortest distances; the unbounded expansion computes them here by
+    * forward SPFA over the live ranges. */
+  private def assemblePruned(sc: Scratch, nStates: Int, that: Wfst,
+      pruneTh: Double, fwdFromSpfa: Boolean): Wfst = {
+    if (nStates == 0) return Wfst.emptyFst
+    val sink = sc.sink
+    val thisFin = this.finalWeightDense
+    val thatFin = that.finalWeightDense
+    def finW(i: Int): Double = {
+      val wa = thisFin(sc.pairA(i))
+      if (wa.isInfinity) wa
+      else {
+        val wb = thatFin(sc.pairB(i))
+        if (wb.isInfinity) Double.PositiveInfinity else wa + wb
+      }
+    }
+    var qh = 0
+    var qt = 0
+    def qpush(t: Int): Unit = {
+      if (qt == sc.queue.length)
+        sc.queue = java.util.Arrays.copyOf(sc.queue, qt << 1)
+      sc.queue(qt) = t; qt += 1
+    }
+    // ---- forward distances
+    val fwd = sc.dist // bounded expansion left its exact distances here
+    if (!fwdFromSpfa) {
+      java.util.Arrays.fill(fwd, 0, nStates, Double.PositiveInfinity)
+      java.util.Arrays.fill(sc.flags, 0, nStates, false)
+      fwd(0) = 0.0
+      sc.flags(0) = true; qpush(0)
+      while (qh < qt) {
+        val u = sc.queue(qh); qh += 1
+        sc.flags(u) = false
+        val d = fwd(u)
+        var k = sc.rangeStart(u); val e = k + sc.rangeLen(u)
+        while (k < e) {
+          val nd = d + sink.wt(k)
+          val t = sink.ds(k)
+          if (nd < fwd(t) - 1e-15) {
+            fwd(t) = nd
+            if (!sc.flags(t)) { sc.flags(t) = true; qpush(t) }
+          }
+          k += 1
+        }
+      }
+    }
+    // ---- reverse CSR (with weights) over the live ranges
+    sc.indeg = Scratch.ensureInt(sc.indeg, nStates)
+    java.util.Arrays.fill(sc.indeg, 0, nStates, 0)
+    var total = 0
+    var s = 0
+    while (s < nStates) {
+      var k = sc.rangeStart(s); val e = k + sc.rangeLen(s)
+      total += sc.rangeLen(s)
+      while (k < e) { sc.indeg(sink.ds(k)) += 1; k += 1 }
+      s += 1
+    }
+    sc.revOff = Scratch.ensureInt(sc.revOff, nStates + 1)
+    sc.revOff(0) = 0
+    s = 0
+    while (s < nStates) { sc.revOff(s + 1) = sc.revOff(s) + sc.indeg(s); s += 1 }
+    sc.revSrc = Scratch.ensureInt(sc.revSrc, math.max(total, 1))
+    sc.revW = Scratch.ensureDouble(sc.revW, math.max(total, 1))
+    s = 0
+    while (s < nStates) { sc.indeg(s) = sc.revOff(s); s += 1 }
+    s = 0
+    while (s < nStates) {
+      var k = sc.rangeStart(s); val e = k + sc.rangeLen(s)
+      while (k < e) {
+        val d = sink.ds(k)
+        sc.revSrc(sc.indeg(d)) = s; sc.revW(sc.indeg(d)) = sink.wt(k)
+        sc.indeg(d) += 1
+        k += 1
+      }
+      s += 1
+    }
+    // ---- backward shortest distances (SPFA from product-final states)
+    sc.bwd = Scratch.ensureDouble(sc.bwd, nStates)
+    val bwd = sc.bwd
+    java.util.Arrays.fill(bwd, 0, nStates, Double.PositiveInfinity)
+    java.util.Arrays.fill(sc.flags, 0, nStates, false)
+    qh = 0; qt = 0
+    var i = 0
+    while (i < nStates) {
+      val f = finW(i)
+      if (!f.isInfinity) { bwd(i) = f; sc.flags(i) = true; qpush(i) }
+      i += 1
+    }
+    while (qh < qt) {
+      val v = sc.queue(qh); qh += 1
+      sc.flags(v) = false
+      val d = bwd(v)
+      var r = sc.revOff(v)
+      while (r < sc.revOff(v + 1)) {
+        val p = sc.revSrc(r)
+        val nd = d + sc.revW(r)
+        if (nd < bwd(p) - 1e-15) {
+          bwd(p) = nd
+          if (!sc.flags(p)) { sc.flags(p) = true; qpush(p) }
+        }
+        r += 1
+      }
+    }
+    val best = bwd(0)
+    if (best.isInfinity) return Wfst.emptyFst
+    val lim = best + pruneTh + 1e-9
+    // ---- remap + exact-size projected CSR (same criteria as prune)
+    sc.remap = Scratch.ensureInt(sc.remap, nStates)
+    var kept = 0
+    s = 0
+    while (s < nStates) {
+      if (fwd(s) + bwd(s) <= lim) { sc.remap(s) = kept; kept += 1 }
+      else sc.remap(s) = -1
+      s += 1
+    }
+    val nOff = new Array[Int](kept + 1)
+    s = 0
+    while (s < nStates) {
+      if (sc.remap(s) >= 0) {
+        var c = 0
+        var k = sc.rangeStart(s); val e = k + sc.rangeLen(s)
+        while (k < e) {
+          if (sc.remap(sink.ds(k)) >= 0 &&
+              fwd(s) + sink.wt(k) + bwd(sink.ds(k)) <= lim) c += 1
+          k += 1
+        }
+        nOff(sc.remap(s) + 1) = c
+      }
+      s += 1
+    }
+    var t = 0
+    while (t < kept) { nOff(t + 1) += nOff(t); t += 1 }
+    val m = nOff(kept)
+    val nIl = new Array[Int](m); val nOl = new Array[Int](m)
+    val nWt = new Array[Double](m); val nDs = new Array[Int](m)
+    s = 0
+    while (s < nStates) {
+      if (sc.remap(s) >= 0) {
+        var p = nOff(sc.remap(s))
+        var k = sc.rangeStart(s); val e = k + sc.rangeLen(s)
+        while (k < e) {
+          if (sc.remap(sink.ds(k)) >= 0 &&
+              fwd(s) + sink.wt(k) + bwd(sink.ds(k)) <= lim) {
+            val o = sink.ol(k) // projectOutput fused: output on both tapes
+            nIl(p) = o; nOl(p) = o; nWt(p) = sink.wt(k)
+            nDs(p) = sc.remap(sink.ds(k)); p += 1
+          }
+          k += 1
+        }
+      }
+      s += 1
+    }
+    // finals (ascending remap order; prune's criterion fwd + finW <= lim)
+    var fCount = 0
+    i = 0
+    while (i < nStates) {
+      if (sc.remap(i) >= 0 && fwd(i) + finW(i) <= lim) fCount += 1
+      i += 1
+    }
+    val fs = new Array[Int](fCount); val fw = new Array[Double](fCount)
+    var fi = 0
+    i = 0
+    while (i < nStates) {
+      if (sc.remap(i) >= 0) {
+        val f = finW(i)
+        if (fwd(i) + f <= lim) { fs(fi) = sc.remap(i); fw(fi) = f; fi += 1 }
+      }
+      i += 1
+    }
+    new Wfst(sc.remap(0), kept, nOff, nIl, nOl, nWt, nDs, fs, fw)
   }
 
   // ---------------------------------------------------------------- decoding
