@@ -92,6 +92,27 @@ class WfstPropertySpec extends AnyFunSuite {
     Gen.chooseNum(0, 12).flatMap(n =>
       Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c', 'd', ' ', 'ſ', 'ä')))
 
+  test("fused composePruned == compose.projectOutput.prune (and the bounded form)") {
+    forAll(stringMapGen, stringMapGen) { (m1, m2) =>
+      val left = Wfst.fromStrings(m1)
+      val right = Wfst.fromStrings(m2).arcSort
+      for (th <- Seq(0.5, 2.0, 10.0)) {
+        val unfused = left.compose(right, trim = false)
+          .projectOutput.prune(th)
+          .distinctOutputs().toSeq
+        val fused = left.composePruned(right, th)
+          .distinctOutputs().toSeq
+        assert(fused == unfused, s"th=$th m1=$m1 m2=$m2")
+        val unfusedB = left.composeBounded(right, 6.0, trim = false)
+          .projectOutput.prune(th)
+          .distinctOutputs().toSeq
+        val fusedB = left.composeBoundedPruned(right, 6.0, th)
+          .distinctOutputs().toSeq
+        assert(fusedB == unfusedB, s"bounded th=$th m1=$m1 m2=$m2")
+      }
+    }
+  }
+
   test("scratch isolation: 16 threads composing/pruning concurrently agree with serial") {
     // the hot path reuses ThreadLocal scratch buffers (Wfst.Scratch);
     // this hammers compose/prune/rmEpsilon from many threads at once and
