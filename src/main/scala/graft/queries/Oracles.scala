@@ -117,8 +117,8 @@ object Oracles {
   val qNgramJaccard: String =
     """WITH sh AS (
       |  SELECT DISTINCT doc_id,
-      |    array_to_string(list_slice(string_split(text, ' '),
-      |      CAST(i AS INTEGER), CAST(i AS INTEGER) + 2), ' ') AS sh
+      |    CAST(('0x' || substr(md5(array_to_string(list_slice(string_split(text, ' '),
+      |      CAST(i AS INTEGER), CAST(i AS INTEGER) + 2), ' ')), 1, 15)) AS BIGINT) AS sh
       |  FROM documents, LATERAL (SELECT unnest(range(1,
       |    greatest(len(string_split(text, ' ')) - 2, 1) + 1)) AS i) u
       |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

@@ -321,16 +321,24 @@ object Queries {
     * shuffle), the result is persisted, and BOTH consumers — per-doc
     * sizes (explode the doc-sets once more) and candidate pairs — read
     * the cached aggregate instead of re-deriving it from the raw table
-    * (the round-1 plan scanned+exploded documents 3x). */
+    * (the round-1 plan scanned+exploded documents 3x).
+    *
+    * The shuffle key is the shingle's 60-bit md5 prefix, not the shingle
+    * STRING — ~25-byte keys shrink to 8 bytes across the wide exploded
+    * shuffle, and nothing downstream needs the text (hash-collision
+    * probability ~2^-60 per shingle pair merges two shingles' doc lists,
+    * inflating `common` by at most 1 — negligible against the df-cut). */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.functions.HexPrefix64.hexPrefix64
     val docSets = docsDf(s, dir)
       .select($"doc_id", explode(expr(
         """transform(
              sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
              i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))
         .as("sh"))
-      .groupBy($"sh")
+      .select($"doc_id", hexPrefix64(md5($"sh")).as("shh"))
+      .groupBy($"shh")
       .agg(collect_set($"doc_id").as("docs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = docSets
