@@ -68,6 +68,9 @@ object Bench {
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())
+        // free per-query persisted caches (qNgramJaccard's shingle agg)
+        // so later queries aren't measured against leaked cache blocks
+        graft.queries.Queries.releaseCaches()
         name -> sec
       }
     }

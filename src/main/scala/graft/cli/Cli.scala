@@ -14,16 +14,30 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * parallelism replacing the fork pool (-Q processes -> local[Q]).
   * Flag parsing is a minimal key-value scan (no argparse dependency). */
 object CliArgs {
+  /** A dash-leading token is a VALUE (not the next flag) when it parses
+    * as a number — so `-P -1.5` and `--added-word-cost -0.25` work.
+    * argparse uses the same negative-number heuristic. */
+  private val NumberLike = """-(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?""".r
+  private def isFlagToken(t: String): Boolean =
+    t.startsWith("-") && NumberLike.unapplySeq(t).isEmpty
+
   def parse(args: Array[String], aliases: Map[String, String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
       val k0 = args(i)
-      val k = aliases.getOrElse(k0, k0.stripPrefix("--"))
-      if (k0.startsWith("-")) {
-        if (i + 1 < args.length && !args(i + 1).startsWith("-")) {
-          m(k) = args(i + 1); i += 2
-        } else { m(k) = "true"; i += 1 } // boolean flag
+      if (isFlagToken(k0)) {
+        // --key=value form
+        val eq = k0.indexOf('=')
+        if (k0.startsWith("--") && eq > 0) {
+          val k = aliases.getOrElse(k0.substring(0, eq), k0.substring(2, eq))
+          m(k) = k0.substring(eq + 1); i += 1
+        } else {
+          val k = aliases.getOrElse(k0, k0.stripPrefix("--"))
+          if (i + 1 < args.length && !isFlagToken(args(i + 1))) {
+            m(k) = args(i + 1); i += 2
+          } else { m(k) = "true"; i += 1 } // boolean flag
+        }
       } else i += 1
     }
     m.toMap

@@ -245,8 +245,23 @@ object Corrector {
     * optimize()+paths(), SURVEY.md §2 row B9). */
   def windowAlternatives(winStr: String, model: CompiledModel,
       cache: AltCache): Seq[Alt] = {
-    def compute = processWindow(winStr, model)
-      .distinctOutputs().map { case (s, w) => Alt(s, w) }
+    def compute = {
+      val w = processWindow(winStr, model)
+      // The cascade's last step keeps its eps arcs (perf: nothing
+      // composes with it again, and enumeration skips eps). Two rare
+      // failure modes of that shortcut are caught here and retried on
+      // the eps-free machine: (1) eps-differing duplicate paths blowing
+      // distinctOutputs' path budget on dense windows; (2) an eps cycle
+      // introduced by an eps-cyclic window FST ("paths() on a cyclic
+      // FST"). rmEpsilon's SPFA closure handles eps CYCLES fine
+      // (non-negative weights), so the fallback always terminates.
+      val alts =
+        try w.distinctOutputs()
+        catch { case _: IllegalStateException =>
+          w.rmEpsilon(trim = false).distinctOutputs()
+        }
+      alts.map { case (s, wt) => Alt(s, wt) }
+    }
     if (cache == null) compute else cache.getOrCompute(winStr)(compute)
   }
 

@@ -30,12 +30,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
-  /** Token separator set = Java regex \s ([ \t\n\f\r]) — the SAME
-    * set TextOps.simhash64 splits on (and RE2/DuckDB's \s, so the DuckDB
-    * oracle tokenizes identically). Character.isWhitespace is broader
-    * (U+1680, U+2000-200A, U+2028/29, ...) and would diverge. */
+  /** Token separator set = RE2/DuckDB's \s ([ \t\n\f\r]) — the set the
+    * DuckDB qSimhash oracle splits on, and the SAME set
+    * TextOps.simhash64 uses. NOT Java regex \s (which adds VT U+000B)
+    * and NOT Character.isWhitespace (broader still: U+1680,
+    * U+2000-200A, U+2028/29, ...) — either would tokenize text with
+    * those code points differently from the oracle. */
   @inline private def isSep(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** Static helper invoked from generated code (the pattern of Spark's
     * own Md5/XxHash expressions: codegen emits a direct static call). */

@@ -56,8 +56,11 @@ object Analytics {
       .select($"c_custkey", $"c_name", $"c_nationkey")
     val n = s.read.parquet(s"$dir/nation.parquet")
       .select($"n_nationkey", $"n_name")
+    // customer is a FACT-scaling table (sf100 ~ 15M rows) — no forced
+    // broadcast; AQE picks broadcast at small scale and falls back to a
+    // shuffle join past the threshold. nation (25 rows) stays hinted.
     val rev = l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", $"c_custkey", $"c_name")
       .agg(sum($"rev_c").as("revenue_c"))
@@ -83,8 +86,10 @@ object Analytics {
       .select($"n_nationkey", $"n_regionkey", $"n_name")
     val r = s.read.parquet(s"$dir/region.parquet")
       .select($"r_regionkey", $"r_name")
+    // customer scales with the corpus — leave its join to AQE (see
+    // qTpchTopCustomers); nation/region are constant-size dims.
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .rollup($"r_name", $"n_name")

@@ -32,6 +32,22 @@ object Queries {
       .toDF("doc_id", "ocr", "gt")
   }
 
+  /** Caches persisted by query builders (qNgramJaccard's per-shingle
+    * aggregate). Each builder registers its persisted DF here;
+    * harnesses (Bench, Verify, specs) call `releaseCaches()` after
+    * materializing a query's result — otherwise repeated runs in one
+    * session accumulate cached relations whose spilled disk blocks are
+    * only freed at session end. */
+  private val persistedCaches = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+  private def registerCache(df: DataFrame): DataFrame = {
+    persistedCaches.add(df); df
+  }
+  def releaseCaches(): Unit = {
+    val it = persistedCaches.iterator()
+    while (it.hasNext) { it.next().unpersist(false); it.remove() }
+  }
+
   /** Per-sfDir cache of the model trained on the perturbed documents
     * table (driver-side compile from distributed aggregates). */
   private val modelCache =
@@ -340,7 +356,8 @@ object Queries {
       .select($"doc_id", hexPrefix64(md5($"sh")).as("shh"))
       .groupBy($"shh")
       .agg(collect_set($"doc_id").as("docs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache( // unpersisted via Queries.releaseCaches() after materialization
+      docSets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = docSets
       .select(explode($"docs").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("sz"))
@@ -357,8 +374,13 @@ object Queries {
                struct(a AS ida, b AS idb))))""")).as("p"))
       .groupBy($"p.ida".as("ida"), $"p.idb".as("idb"))
       .agg(count(lit(1)).as("common"))
-    pairs.join(broadcast(sizes.as("sa")), $"ida" === $"sa.doc_id")
-      .join(broadcast(sizes.as("sb")), $"idb" === $"sb.doc_id")
+    // NO broadcast hint on sizes: it has one row per document, so it
+    // grows linearly with the corpus — a forced broadcast dies at 100x
+    // scale. At small scale AQE converts these to broadcast joins by
+    // itself (sizes is tiny); at 100 TB they run as shuffle joins on the
+    // df-cut-bounded pairs side, which is the shape you want.
+    pairs.join(sizes.as("sa"), $"ida" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"idb" === $"sb.doc_id")
       .select($"ida", $"idb",
         round($"common" / ($"sa.sz" + $"sb.sz" - $"common"), 6).as("jaccard"))
       .where($"jaccard" >= 0.2)
@@ -438,12 +460,19 @@ object Queries {
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("ida"), $"b.vec_id".as("idb"),
         $"a.embedding".as("ea"), $"b.embedding".as("eb"))
-      .dropDuplicates("ida", "idb") // a pair may collide in both bands
     val dot = "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
     def nrm(c: String) =
       s"sqrt(aggregate($c, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    // A pair colliding in BOTH bands appears twice: score first (same
+    // cos both times, it's a pure function of the pair) and collapse
+    // with max over the NARROW (ida, idb, cos) rows — a partial+final
+    // HashAggregate. dropDuplicates before scoring would realize as a
+    // SortAggregate over first(ea)/first(eb), sort-shuffling both full
+    // embedding arrays; scoring a <=2x-inflated candidate set is far
+    // cheaper than sorting wide rows.
     pairs.select($"ida", $"idb",
         round(expr(s"$dot / (${nrm("ea")} * ${nrm("eb")})"), 4).as("cos"))
+      .groupBy($"ida", $"idb").agg(max($"cos").as("cos"))
       .orderBy(desc("cos"), asc("ida"), asc("idb")).limit(20)
   }
 

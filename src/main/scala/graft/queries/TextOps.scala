@@ -16,10 +16,12 @@ object TextOps {
     MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
 
   /** 64-bit SimHash over whitespace tokens: bit i of the hash votes
-    * +1/-1 weighted by token frequency. */
+    * +1/-1 weighted by token frequency. Separator set = RE2/DuckDB \s
+    * ([ \t\n\f\r], no VT) — must match SimHash64Expression.isSep and
+    * the DuckDB oracle's regexp_split_to_array(text, '\s+'). */
   def simhash64(text: String): Long = {
     val votes = new Array[Int](64)
-    text.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+    text.split("[ \t\n\f\r]+").filter(_.nonEmpty).foreach { tok =>
       val h = md5Bytes(tok)
       var i = 0
       while (i < 64) {

@@ -248,21 +248,48 @@ object ErrorModelST {
     (probs, ngrProbs)
   }
 
+  /** E1-E3 distributed with a BOUNDED driver footprint: per-gram counts
+    * aggregate in a codegen'd hash agg, then the composite
+    * `(unigram-first, cnt desc, gram asc)` orderBy+limit runs as a
+    * TakeOrderedAndProject (per-partition top-k merged on the driver) —
+    * the driver receives at most `maxNgrams + 1` rows no matter how
+    * large the distinct n-gram set is (a 100-TB multilingual corpus has
+    * hundreds of millions of distinct ≤3-grams; collecting them all is
+    * a driver OOM). Unigram-first ordering makes the top-(k+1) a
+    * superset of select_ngrams' choice (lib/error_st.py:42-54): all
+    * unigrams sort before every higher-order gram, and higher grams tie-
+    * break exactly like selectNgrams' (cnt desc, gram asc). The +1 row
+    * detects unigram overflow (row k+1 being a unigram proves > k
+    * unigrams exist, the reference's error case). */
+  def topNgramCounts(spark: SparkSession, pairs: Dataset[(String, String)],
+      maxN: Int, maxNgrams: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    pairs.toDF("ocr", "gt")
+      .select(explode(array($"ocr", $"gt")).as("text"))
+      .where(length($"text") >= 1)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, length(text)), i ->
+              transform(sequence(1, least($maxN, length(text) - i + 1)), n ->
+                substring(text, i, n))))""")).as("gram"))
+      .groupBy($"gram").agg(count(lit(1)).as("cnt"))
+      .orderBy((length($"gram") <= 1).desc, $"cnt".desc, $"gram".asc)
+      .limit(maxNgrams + 1)
+  }
+
   /** Distributed E-step EM over (gt, ocr) line pairs. */
   def fitSpark(spark: SparkSession, pairs: Dataset[(String, String)],
       maxN: Int = 3, maxNgrams: Int = 1000, threshold: Double = 1e-4,
       maxIters: Int = 20): StModel = {
     import spark.implicits._
-    // E1-E3 distributed: one hash agg over both sides' n-gram emissions
-    val counts = pairs.flatMap { case (ocr, gt) =>
-      def grams(s: String) = for {
-        i <- 0 until s.length
-        j <- 0 until math.min(maxN, s.length - i)
-      } yield s.substring(i, i + j + 1)
-      grams(ocr) ++ grams(gt)
-    }.groupByKey(identity).count().collect()
-      .map { case (g, c) => (g, c) }.toMap
-    val ngrams = selectNgrams(counts, maxNgrams)
+    // bounded collect: <= maxNgrams+1 survivors (see topNgramCounts);
+    // selectNgrams re-applies the reference's exact ordering (unigrams
+    // sorted asc ++ higher by cnt desc) and raises the reference's
+    // unigram-overflow error if even the survivors hold > maxNgrams
+    // unigrams.
+    val top = topNgramCounts(spark, pairs, maxN, maxNgrams)
+      .as[(String, Long)].collect()
+    val ngrams = selectNgrams(top.toMap, maxNgrams)
     val idx = ngrams.zipWithIndex.toMap
     val bcIdx = spark.sparkContext.broadcast(idx)
     // pair = (gt_ids, ocr_ids): fit gt->ocr, inverted at compile

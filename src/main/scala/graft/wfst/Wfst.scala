@@ -129,9 +129,14 @@ final class Wfst private (
   /** Dense final-weight table (+inf = non-final), built lazily once per
     * machine instance (once per executor for broadcast models) — turns
     * the per-product-state finalWeight binarySearch in the compose hot
-    * path into an array read. Benign build race across threads
-    * (idempotent; reference assignment). */
-  @transient private var finDense0: Array[Double] = _
+    * path into an array read. The build race is idempotent, but the
+    * publication must be SAFE: a plain var would let another executor
+    * thread observe the array reference before its element stores on
+    * weakly-ordered CPUs (ARM), reading 0.0 "final weights" for
+    * arbitrary states. @volatile orders the fill before the reference
+    * store (one volatile read per call — in the noise vs the array
+    * reads it replaces). */
+  @transient @volatile private var finDense0: Array[Double] = _
   private[wfst] def finalWeightDense: Array[Double] = {
     var d = finDense0
     if (d == null) {

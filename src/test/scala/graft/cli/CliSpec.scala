@@ -15,6 +15,20 @@ class CliSpec extends AnyFunSuite {
     .master("local[4]").config("spark.ui.enabled", "false")
     .config("spark.sql.shuffle.partitions", "4").getOrCreate()
 
+  test("arg parse: negative-number values and --key=value forms") {
+    val aliases = Map("-P" -> "pruning-weight", "-Q" -> "processes")
+    // a dash-leading NUMBER is a value, not the next flag
+    assert(CliArgs.parse(Array("-P", "-1.5"), aliases)("pruning-weight") == "-1.5")
+    assert(CliArgs.parse(Array("-P", "-1.5e-2", "-Q", "4"), aliases)
+      == Map("pruning-weight" -> "-1.5e-2", "processes" -> "4"))
+    // --key=value splits on '='
+    assert(CliArgs.parse(Array("--added-word-cost=-0.25"), Map.empty)
+      ("added-word-cost") == "-0.25")
+    // boolean flag followed by another flag still parses as boolean
+    assert(CliArgs.parse(Array("--verbose", "-Q", "2"), aliases)
+      == Map("verbose" -> "true", "processes" -> "2"))
+  }
+
   test("train -> process -> evaluate round trip on fixture pairs") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = Files.createTempDirectory("graft-cli").toString

@@ -33,7 +33,8 @@ class FunctionsSpec extends AnyFunSuite {
   test("SimHash64 whitespace set == TextOps (\\s exactly, not isWhitespace)") {
     import spark.implicits._
     // exotic whitespace: isWhitespace-only separators (U+1680, U+2000,
-    // U+2028, U+205F, U+3000, U+001C) must NOT split; VT U+000B (in \\s) must
+    // U+2028, U+205F, U+3000, U+001C) must NOT split; VT U+000B must NOT
+    // split either (RE2/DuckDB \s excludes it, unlike Java regex \s)
     val texts = Seq(
       "a\u1680b", "a\u2000b", "a\u2028b", "a\u205Fb", "a\u3000b",
       "a\u000Bb", "a\u001Cb", "nbsp\u00A0joined", "mix \u2028 of\u000Bit")

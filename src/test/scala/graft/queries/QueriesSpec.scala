@@ -128,6 +128,19 @@ class QueriesSpec extends AnyFunSuite {
     df.count() // materialize so the cache is populated for the next assertion
     val cached = spark.sharedState.cacheManager
     assert(!cached.isEmpty, "expected the per-shingle aggregate to be cached")
+    // harness contract: releaseCaches() frees the persisted aggregate so
+    // repeated runs in one session don't accumulate spilled blocks
+    Queries.releaseCaches()
+    assert(cached.isEmpty, "releaseCaches() must unpersist the shingle aggregate")
+  }
+
+  test("plan shape: dedup-embed pair-dedup is a narrow HashAggregate, not a wide sort") {
+    val plan = Queries.qDedupEmbed(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      s"duplicate-pair collapse must not sort-shuffle embedding arrays:\n$plan")
+    assert(!plan.contains("first("),
+      s"no first(embedding) aggregate — score before dedup:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
   }
 
   test("plan shape: tpch top-customers broadcasts dims; window is partitioned") {

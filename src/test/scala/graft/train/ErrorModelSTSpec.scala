@@ -82,4 +82,25 @@ class ErrorModelSTSpec extends AnyFunSuite {
     for (k <- ngrL.indices)
       assert(math.abs(st.ngrProbs(k) - ngrL(k)) < 1e-9)
   }
+
+  test("topNgramCounts bounds the driver to maxNgrams+1 rows via top-k") {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+    import spark.implicits._
+    // enough text that the distinct-gram set far exceeds the cap
+    val raw = (0 until 50).map(i => (s"line nr $i with text", s"line no $i with text"))
+    val cap = 10
+    val top = topNgramCounts(spark, raw.toDS(), maxN = 3, maxNgrams = cap)
+    // plan shape: per-partition top-k merged on the driver, NOT a global
+    // sort or a full collect of the distinct-gram table
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val rows = top.collect()
+    assert(rows.length <= cap + 1, s"driver received ${rows.length} rows")
+    // unigram overflow surfaces as the reference's error
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.keys.count(_.length <= 1) > cap)
+      intercept[IllegalArgumentException](selectNgrams(counts, cap))
+  }
 }

@@ -76,6 +76,19 @@ class WfstSpec extends AnyFunSuite {
       a.ilabel == Label.Eps && a.olabel == Label.Eps)))
   }
 
+  test("rmEpsilon collapses eps CYCLES (SPFA closure terminates)") {
+    // 0 -eps-> 1 -eps-> 0 (cycle), 1 -a-> 2(final): paths() must reject
+    // the cyclic machine, rmEpsilon must terminate and keep language {a}
+    val aLab = 'a'.toInt
+    val f = Wfst(0, Map(2 -> 0.0), Array(
+      Array(Arc(Label.Eps, Label.Eps, 0.5, 1)),
+      Array(Arc(Label.Eps, Label.Eps, 0.25, 0), Arc(aLab, aLab, 1.0, 2)),
+      Array.empty[Arc]))
+    intercept[IllegalStateException](f.paths())
+    val r = f.rmEpsilon
+    assert(r.paths().map(p => (p._2, p._3)) == Seq(("a", 1.5)))
+  }
+
   test("projectOutput copies the output tape onto the input tape") {
     val f = Wfst.fromMappings(Seq(("ab", "xy", 1.0))).projectOutput
     assert(f.paths() == Seq(("xy", "xy", 1.0)))
