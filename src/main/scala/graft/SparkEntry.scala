@@ -44,6 +44,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Queries.qDedupMinhash(_, _)),
     "q_ngram_jaccard" -> (Queries.qNgramJaccard(_, _)),
     "q_dedup_embed" -> (Queries.qDedupEmbed(_, _)),
+    "q_dedup_groups" -> (Queries.qDedupGroups(_, _)),
     "q_simhash" -> (Queries.qSimhash(_, _)),
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),
@@ -54,6 +55,9 @@ object SparkEntry {
     "q_tpch_pricing" -> (Analytics.qTpchPricing(_, _)),
     "q_tpch_top_customers" -> (Analytics.qTpchTopCustomers(_, _)),
     "q_tpch_revenue_rollup" -> (Analytics.qTpchRevenueRollup(_, _)),
+    "q_tpch_promo" -> (Analytics.qTpchPromo(_, _)),
+    "q_parts_cold" -> (Analytics.qPartsCold(_, _)),
+    "q_suppliers_hot" -> (Analytics.qSuppliersHot(_, _)),
     "q_events_window" -> (Analytics.qEventsWindow(_, _)),
     // training-data pipeline: text analysis
     "q_quality" -> (Queries.qQuality(_, _)),

@@ -155,7 +155,11 @@ object Process {
       "-e" -> "error-model-file", "-i" -> "input-file",
       "-o" -> "output-file", "-W" -> "words-per-window",
       "-P" -> "pruning-weight", "-J" -> "rejection-weight",
-      "-Q" -> "processes"))
+      "-Q" -> "processes",
+      // per-file directory I/O (process.py -d/-I/-O): input from
+      // <dir>/<id>.<input-suffix>, output to <dir>/<id>.<output-suffix>
+      "-d" -> "directory", "-I" -> "input-suffix",
+      "-O" -> "output-suffix"))
     val (spark, owned) = CliArgs.spark(a.getOrElse("processes", "4").toInt)
     import spark.implicits._
     try {
@@ -171,17 +175,26 @@ object Process {
         rejectionWeight = a.get("rejection-weight").map(_.toDouble)
           .getOrElse(base.rejectionWeight))
       val bc = CorrectionJob.broadcastModel(spark, model)
-      val in = Sources.loadPairsFromFile(spark, a("input-file"))
-        .as[(String, String)]
+      val in = (a.get("input-file") match {
+        case Some(f) => Sources.loadPairsFromFile(spark, f)
+        case None => Sources.loadPairsFromDir(spark, a("directory"),
+          a("input-suffix")) // process.py:168-169
+      }).as[(String, String)]
       val out = in.mapPartitions { it =>
         val m = bc.value
         val cache = graft.correct.SharedWindowCache.forModel(m)
         it.map { case (id, line) =>
           (id, Corrector.correctLine(line, m, cache))
         }
-      }.toDF("line_id", "text").orderBy($"line_id")
-      CliArgs.writeSingleTsv(out, a("output-file"))
-      println(s"corrected ${in.count()} lines -> ${a("output-file")}")
+      }.toDF("line_id", "text")
+      a.get("output-file") match {
+        case Some(f) =>
+          CliArgs.writeSingleTsv(out.orderBy($"line_id"), f)
+          println(s"corrected ${in.count()} lines -> $f")
+        case None => // process.py:178-181: one file per line id
+          Sources.savePairsToDir(out, a("directory"), a("output-suffix"))
+          println(s"corrected ${in.count()} lines -> ${a("directory")}/*.${a("output-suffix")}")
+      }
     } finally if (owned) spark.stop()
   }
 }

@@ -100,6 +100,59 @@ object Analytics {
       .orderBy($"region", $"nation")
   }
 
+  /** TPC-H Q14 shape: monthly promo revenue share over lineitem x part.
+    * part scales with the corpus (sf100 ~ 20M rows) so its join carries
+    * NO broadcast hint — AQE broadcasts at small scale and shuffles
+    * past the threshold; the month key is the wall-clock yyyy-MM (the
+    * session runs UTC, so Spark and DuckDB read the same parquet value). */
+  def qTpchPromo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(date_format($"l_shipdate", "yyyy-MM").as("month"),
+        $"l_partkey", cents("l_extendedprice * (1 - l_discount)").as("rev_c"))
+    val p = s.read.parquet(s"$dir/part.parquet")
+      .select($"p_partkey", ($"p_type" === "PROMO").as("is_promo"))
+    l.join(p, $"l_partkey" === $"p_partkey")
+      .groupBy($"month")
+      .agg(sum(when($"is_promo", $"rev_c").otherwise(0L)).as("promo_rev_c"),
+        sum($"rev_c").as("rev_c"))
+      .select($"month", $"promo_rev_c", $"rev_c",
+        round(lit(100.0) * $"promo_rev_c" / $"rev_c", 6).as("promo_pct"))
+      .orderBy($"month")
+  }
+
+  /** ANTI-join shape: parts with NO bulk sale (no lineitem of quantity
+    * > 45) — the filter runs BEFORE the join so the anti probe side is
+    * already pruned, and the LeftAnti join needs only l_partkey from
+    * the fact table (column pruning reaches the scan). */
+  def qPartsCold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bulk = s.read.parquet(s"$dir/lineitem.parquet")
+      .where($"l_quantity" > 45).select($"l_partkey")
+    s.read.parquet(s"$dir/part.parquet")
+      .join(bulk, $"p_partkey" === $"l_partkey", "left_anti")
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
+  /** SEMI-join shape: suppliers with at least one recent bulk shipment
+    * (quantity > 49 shipped on/after 2001-06-01). LeftSemi keeps the
+    * supplier row without duplicating it per matching lineitem — no
+    * post-join distinct. acctbal is emitted as integer cents
+    * (per-row cast, engine-independent). */
+  def qSuppliersHot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recent = s.read.parquet(s"$dir/lineitem.parquet")
+      .where($"l_quantity" > 49 &&
+        $"l_shipdate".cast("date") >= lit("2001-06-01").cast("date"))
+      .select($"l_suppkey")
+    s.read.parquet(s"$dir/supplier.parquet")
+      .join(recent, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name", $"s_nationkey",
+        cents("s_acctbal").as("acctbal_c"))
+      .orderBy($"s_suppkey")
+  }
+
   /** Batch mirror of the streaming 5-minute window aggregation
     * (StreamingCorrection.eventWindowAgg): tumbling window per
     * event_type, epoch-aligned; window start emitted as epoch seconds

@@ -137,6 +137,46 @@ object Oracles {
       |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.2
       |ORDER BY ida, idb""".stripMargin
 
+  /** Connected components over VERIFIED duplicate edges (exact-hash
+    * star edges + jaccard-confirmed pairs) via a recursive CTE:
+    * reach(id, r) is the transitive closure over the symmetric edge
+    * set; min(r) per id is the component canonical. */
+  val qDedupGroups: String =
+    """WITH RECURSIVE exg AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m FROM documents
+      |), ex_edges AS (
+      |  SELECT m AS a, doc_id AS b FROM exg WHERE doc_id <> m
+      |), jsh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(('0x' || substr(md5(array_to_string(list_slice(string_split(text, ' '),
+      |      CAST(i AS INTEGER), CAST(i AS INTEGER) + 2), ' ')), 1, 15)) AS BIGINT) AS sh
+      |  FROM documents, LATERAL (SELECT unnest(range(1,
+      |    greatest(len(string_split(text, ' ')) - 2, 1) + 1)) AS i) u
+      |), sizes AS (SELECT doc_id, count(*) AS sz FROM jsh GROUP BY doc_id),
+      |rare AS (
+      |  SELECT jsh.doc_id, jsh.sh FROM jsh
+      |  JOIN (SELECT sh AS s2, count(*) AS df FROM jsh GROUP BY sh
+      |        HAVING count(*) <= 20) d ON jsh.sh = d.s2
+      |), jpairs AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+      |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), jac_edges AS (
+      |  SELECT ida AS a, idb AS b
+      |  FROM jpairs JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+      |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.2
+      |), edges AS (
+      |  SELECT a, b FROM ex_edges UNION SELECT a, b FROM jac_edges
+      |), sym AS (
+      |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+      |), reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+      |)
+      |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canon, (min(r) = id) AS keep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val qAnnCosine: String =
     """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
       |SELECT vec_id,
@@ -288,6 +328,36 @@ object Oracles {
       |        ORDER BY revenue_c DESC, c_custkey ASC) AS rnk FROM rev) t
       |WHERE rnk <= 3 ORDER BY n_name, rnk, c_custkey""".stripMargin
 
+  val qTpchPromo: String =
+    """WITH a AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+      |    CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS promo_rev_c,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1
+      |)
+      |SELECT month, promo_rev_c, rev_c,
+      |  round(100.0 * promo_rev_c / rev_c, 6) AS promo_pct
+      |FROM a ORDER BY month""".stripMargin
+
+  val qPartsCold: String =
+    """SELECT p_partkey, p_name, p_brand, p_size
+      |FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+      |ORDER BY p_partkey""".stripMargin
+
+  val qSuppliersHot: String =
+    """SELECT s_suppkey, s_name, s_nationkey,
+      |  CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_c
+      |FROM supplier s
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+      |    AND CAST(l.l_shipdate AS DATE) >= DATE '2001-06-01')
+      |ORDER BY s_suppkey""".stripMargin
+
   val qTpchRevenueRollup: String =
     """WITH j AS (
       |  SELECT r_name, n_name,
@@ -320,6 +390,7 @@ object Oracles {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_ngram_jaccard" -> qNgramJaccard,
+    "q_dedup_groups" -> qDedupGroups,
     "q_ann_cosine" -> qAnnCosine,
     "q_ann_lsh" -> qAnnLsh,
     "q_dedup_embed" -> qDedupEmbed,
@@ -329,6 +400,9 @@ object Oracles {
     "q_tpch_pricing" -> qTpchPricing,
     "q_tpch_top_customers" -> qTpchTopCustomers,
     "q_tpch_revenue_rollup" -> qTpchRevenueRollup,
+    "q_tpch_promo" -> qTpchPromo,
+    "q_parts_cold" -> qPartsCold,
+    "q_suppliers_hot" -> qSuppliersHot,
     "q_events_window" -> qEventsWindow,
     "q_token_count_regex" -> qTokenCountRegex,
     "q_fingerprint" -> qFingerprint)

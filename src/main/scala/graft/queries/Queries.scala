@@ -306,7 +306,10 @@ object Queries {
     * forces SortAggregate; min over a fixed-width numeric keeps the
     * partial+final HashAggregate. The fold is the native HexPrefix64
     * expression (built-in `conv` measured ~4x slower). */
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc (band, sig) MinHash rows — the shared core of
+    * qDedupMinhash (bucket summary) and qDedupGroups (candidate
+    * edges). */
+  private def minhashBandSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.HexPrefix64.hexPrefix64
     // single scan + single shuffle: all 4 band mins in one hash agg,
@@ -318,11 +321,16 @@ object Queries {
         "transform(sequence(1, length(text)-7), i -> substring(text, i, 8))"))
         .as("sh"))
       .select($"doc_id", md5($"sh").as("h"))
-    val sigs = sh.groupBy($"doc_id")
+    sh.groupBy($"doc_id")
       .agg(bandSig(0), bandSig(1), bandSig(2), bandSig(3))
-    sigs.select($"doc_id",
+      .select($"doc_id",
         expr("stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (band, sig)"))
       .select($"doc_id", $"band", $"sig")
+  }
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    minhashBandSigs(s, dir)
       .groupBy($"band", $"sig")
       .agg(count(lit(1)).as("n"), min($"doc_id").as("keeper"))
       .orderBy($"band", $"sig")
@@ -345,6 +353,14 @@ object Queries {
     * probability ~2^-60 per shingle pair merges two shingles' doc lists,
     * inflating `common` by at most 1 — negligible against the df-cut). */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ngramJaccardScored(s, dir).orderBy($"ida", $"idb")
+  }
+
+  /** Scored word-trigram Jaccard pairs WITHOUT the final presentation
+    * sort — shared by qNgramJaccard and qDedupGroups (which unions the
+    * pairs into its edge set; sorting there would be wasted work). */
+  private def ngramJaccardScored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.HexPrefix64.hexPrefix64
     val docSets = docsDf(s, dir)
@@ -384,7 +400,73 @@ object Queries {
       .select($"ida", $"idb",
         round($"common" / ($"sa.sz" + $"sb.sz" - $"common"), 6).as("jaccard"))
       .where($"jaccard" >= 0.2)
-      .orderBy($"ida", $"idb")
+  }
+
+  /** Dedup GROUP RESOLUTION — the artifact a training-data pipeline
+    * actually consumes: a per-doc (doc_id, canon, keep) verdict
+    * resolving the dedup family's pairwise outputs into groups.
+    *
+    * Edges are VERIFIED duplicates only: exact content-hash groups
+    * (star edges to the group min — no per-group array materialization,
+    * so a boilerplate page duplicated a million times costs a window
+    * min, not a giant collect_set) UNION word-trigram Jaccard pairs
+    * >= 0.2. The jaccard pairs already embody LSH-then-verify: bucket
+    * candidates (df-cut <= 20) confirmed by exact similarity. RAW
+    * MinHash band collisions are deliberately NOT edges — unverified
+    * band buckets chain transitively (measured at sf0.01: 486/500 docs
+    * collapse into ONE component), which turns the verdict into noise;
+    * a band collision is a candidate to verify, not evidence.
+    *
+    * Components resolve by iterative min-label propagation (per round:
+    * one shuffle join + one hash agg + ONE collected scalar for the
+    * convergence check). Verified-duplicate components are near-cliques,
+    * so the diameter — the round count — is tiny; at adversarial scale
+    * the same loop upgrades to large-star/small-star for O(log n)
+    * rounds. Labels persist per round; the previous round's cache drops
+    * as soon as the next materializes (peak: two (id, lab) long
+    * tables). */
+  def qDedupGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exEdges = docsDf(s, dir)
+      .select($"doc_id", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5($"text")))
+        .as("m"))
+      .where($"doc_id" =!= $"m")
+      .select($"m".as("a"), $"doc_id".as("b"))
+    val jacEdges = ngramJaccardScored(s, dir)
+      .select($"ida".as("a"), $"idb".as("b"))
+    val edges = registerCache(
+      exEdges.union(jacEdges).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // symmetric closure so propagation flows both ways
+    val sym = edges.union(edges.select($"b".as("a"), $"a".as("b")))
+    // cached label table per round; the PREVIOUS round's cache is
+    // dropped once the next is materialized (the `changed` count), so
+    // peak footprint is two (id, lab) long tables
+    var cached = registerCache(
+      docsDf(s, dir).select($"doc_id".as("id"), $"doc_id".as("lab")).persist())
+    var lab = cached
+    var changed = 1L
+    var iter = 0
+    while (changed > 0) {
+      iter += 1
+      require(iter <= 50, "label propagation failed to converge")
+      val prop = sym.join(lab, sym("b") === lab("id"))
+        .groupBy(sym("a").as("pid")).agg(min($"lab").as("nlab"))
+      val next = registerCache(lab.join(prop, lab("id") === prop("pid"), "left")
+        .select($"id", $"lab".as("old"),
+          least($"lab", coalesce($"nlab", $"lab")).as("lab2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      changed = next.where($"lab2" < $"old").count() // bounded: 1 scalar
+      cached.unpersist(false) // previous round's table, now superseded
+      cached = next
+      lab = next.select($"id", $"lab2".as("lab"))
+    }
+    // `cached` (the converged round) stays persisted until the caller
+    // materializes the result and invokes releaseCaches()
+    lab.select($"id".as("doc_id"), $"lab".as("canon"),
+        ($"lab" === $"id").as("keep"))
+      .orderBy($"doc_id")
   }
 
   /** SimHash (rows-only; native Catalyst expression — stays inside

@@ -55,6 +55,28 @@ object Sources {
   def savePairsToFile(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("sep", "\t").csv(path)
 
+  /** A5 save_pairs_to_dir (lib/helper.py:104-114): one `<id>.<suffix>`
+    * file per pair, file content = the line (the inverse of
+    * loadPairsFromDir). Executors write their partitions in parallel —
+    * the driver never collects the pairs; the writes here hit the
+    * local filesystem, and on a cluster the identical loop targets a
+    * shared filesystem (the java.nio calls swap for the Hadoop
+    * FileSystem API — one create per pair either way). */
+  def savePairsToDir(df: DataFrame, dir: String, suffix: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(dir))
+    val (d, sfx) = (dir, suffix) // serializable captures, not `this`
+    val cols = df.columns
+    df.select(col(cols(0)).cast("string").as("id"),
+        col(cols(1)).cast("string").as("text"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          Files.writeString(Paths.get(d, s"${r.getString(0)}.$sfx"),
+            r.getString(1))
+        }
+      }
+  }
+
   /** A7 frequency-list write (lib/error_simp.py:159-167): human-readable
     * confusion triples, NBSP gap rendered as the box character. */
   def writeFrequencyList(df: DataFrame, path: String): Unit = {

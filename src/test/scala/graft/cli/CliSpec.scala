@@ -51,6 +51,16 @@ class CliSpec extends AnyFunSuite {
     assert(out("l1") == "ich nicht weiß", out)
     assert(out("l2") == "nicht zu bringen")
 
+    // directory I/O (-d/-I/-O, process.py per-file scheme): one
+    // <id>.<suffix> file per line in, one per corrected line out
+    val ioDir = Files.createDirectory(Paths.get(s"$dir/perfile")).toString
+    Files.writeString(Paths.get(s"$ioDir/l1.ocr.txt"), "ih niht weiß")
+    Files.writeString(Paths.get(s"$ioDir/l2.ocr.txt"), "nicht zu bringen")
+    Process.main(Array("-M", modelFile, "-d", ioDir,
+      "-I", "ocr.txt", "-O", "cor.txt", "-Q", "4"))
+    assert(Files.readString(Paths.get(s"$ioDir/l1.cor.txt")) == "ich nicht weiß")
+    assert(Files.readString(Paths.get(s"$ioDir/l2.cor.txt")) == "nicht zu bringen")
+
     // evaluate: gt TSV + captured stdout
     val gtTsv = s"$dir/gt.tsv"
     Files.writeString(Paths.get(gtTsv),

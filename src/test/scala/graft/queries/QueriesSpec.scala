@@ -134,6 +134,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(cached.isEmpty, "releaseCaches() must unpersist the shingle aggregate")
   }
 
+  test("dedup groups: labels converge to component minima (closure sanity)") {
+    val rows = Queries.qDedupGroups(spark, sf).collect()
+    Queries.releaseCaches()
+    assert(rows.nonEmpty)
+    val canon = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (id, c, keep) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      assert(c <= id, s"canon $c > doc $id")
+      assert(keep == (c == id))
+      // a canonical id must be its own canonical (fixpoint reached)
+      assert(canon(c) == c, s"canon($id)=$c but canon($c)=${canon(c)}")
+    }
+  }
+
   test("plan shape: dedup-embed pair-dedup is a narrow HashAggregate, not a wide sort") {
     val plan = Queries.qDedupEmbed(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("SortAggregate"),

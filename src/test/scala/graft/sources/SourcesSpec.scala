@@ -51,6 +51,19 @@ class SourcesSpec extends AnyFunSuite {
       Seq(("a", "x y"), ("b", "z")))
   }
 
+  test("A5 dir form + A2 round trip: one <id>.<suffix> file per pair") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("src-a5dir")
+    val df = Seq(("lineA", "erste zeile"), ("lineB", "zweite zeile"))
+      .toDF("line_id", "text")
+    Sources.savePairsToDir(df, dir.toString, "cor.txt")
+    // one file per id, named <id>.<suffix>, content = the line
+    assert(Files.readString(dir.resolve("lineA.cor.txt")) == "erste zeile")
+    val back = Sources.loadPairsFromDir(spark, dir.toString, "txt")
+    assert(back.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
+      Seq(("lineA", "erste zeile"), ("lineB", "zweite zeile")))
+  }
+
   test("A7: frequency list NBSP <-> box round trip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("src-a7")
