@@ -46,13 +46,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("resize caps the longest side, preserves bytes") {
-    val resized = Multimodal.resize(media, maxSide = 128).collect()
-    resized.foreach { m =>
-      assert(math.max(m.meta.width, m.meta.height) <= 128)
+  test("image rows are genuine PNGs decoded by ImageIO") {
+    val pngs = media.collect().filter(_.meta.mime == "image/png")
+    assert(pngs.nonEmpty)
+    pngs.foreach { m =>
+      // PNG magic
+      assert((m.bytes(0) & 0xff) == 0x89 && m.bytes(1) == 'P' &&
+        m.bytes(2) == 'N' && m.bytes(3) == 'G', m.media_ref)
+      val d = Multimodal.decodeMedia(m.media_ref, m.meta.mime, m.bytes)
+      // dimensions come from the ACTUAL decoded raster
+      assert(d.width == m.meta.width && d.height == m.meta.height)
     }
-    val orig = media.collect().map(m => m.media_ref -> m.bytes.toSeq).toMap
-    resized.foreach(m => assert(m.bytes.toSeq == orig(m.media_ref)))
+  }
+
+  test("resize caps the longest side; PNG pixels are really rewritten") {
+    val cap = 32
+    val resized = Multimodal.resize(media, maxSide = cap).collect()
+    resized.foreach { m =>
+      assert(math.max(m.meta.width, m.meta.height) <= cap)
+    }
+    val orig = media.collect().map(m => m.media_ref -> m).toMap
+    var rewrote = 0
+    resized.foreach { m =>
+      val o = orig(m.media_ref)
+      if (o.meta.mime == "image/png" &&
+          math.max(o.meta.width, o.meta.height) > cap) {
+        // re-encoded: the decoded raster must match the new metadata
+        val d = Multimodal.decodeMedia(m.media_ref, m.meta.mime, m.bytes)
+        assert(d.width == m.meta.width && d.height == m.meta.height)
+        assert(m.bytes.toSeq != o.bytes.toSeq)
+        rewrote += 1
+      } else if (o.meta.mime != "image/png") {
+        // fake-codec rows: metadata-only scale, bytes untouched
+        assert(m.bytes.toSeq == o.bytes.toSeq)
+      }
+    }
+    assert(rewrote > 0, "expected at least one PNG above the cap")
   }
 
   test("frame sampling strides over video frames only") {
