@@ -102,8 +102,10 @@ object Queries {
   }
 
   /** 1.2: the training inner join on line id (scripts/train.py:119-130;
-    * the reference's only join shape). GT side is the dimension —
-    * broadcast when small; Catalyst/AQE picks SMJ at scale. */
+    * the reference's only join shape). NO broadcast hint: the GT side
+    * is the full corpus (grows linearly) — AQE broadcasts it at small
+    * scale by itself and falls back to a shuffle join past the
+    * threshold. */
   def qTrainingJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ocr = docsDf(s, dir)
@@ -112,7 +114,7 @@ object Queries {
       .where($"line_id" % 3 =!= 0) // partial OCR coverage: exercise inner-join drops
     val gt = docsDf(s, dir)
       .select($"doc_id".as("line_id"), $"text".as("gt"))
-    ocr.join(broadcast(gt), Seq("line_id"), "inner")
+    ocr.join(gt, Seq("line_id"), "inner")
       .select($"line_id", $"ocr", $"gt", ($"ocr" === $"gt").as("unchanged"))
       .orderBy($"line_id")
   }
@@ -440,12 +442,15 @@ object Queries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // symmetric closure so propagation flows both ways
     val sym = edges.union(edges.select($"b".as("a"), $"a".as("b")))
-    // cached label table per round; the PREVIOUS round's cache is
-    // dropped once the next is materialized (the `changed` count), so
-    // peak footprint is two (id, lab) long tables
-    var cached = registerCache(
-      docsDf(s, dir).select($"doc_id".as("id"), $"doc_id".as("lab")).persist())
-    var lab = cached
+    // per-round label table: eager localCheckpoint TRUNCATES the plan
+    // lineage each round (without it the round-N plan embeds every
+    // previous round — planning cost doubles per iteration and the
+    // final plan is thousands of nodes). Blocks live on executors
+    // (MEMORY_AND_DISK); superseded rounds are dropped by the context
+    // cleaner once unreferenced.
+    var lab = docsDf(s, dir)
+      .select($"doc_id".as("id"), $"doc_id".as("lab"))
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0) {
@@ -453,17 +458,13 @@ object Queries {
       require(iter <= 50, "label propagation failed to converge")
       val prop = sym.join(lab, sym("b") === lab("id"))
         .groupBy(sym("a").as("pid")).agg(min($"lab").as("nlab"))
-      val next = registerCache(lab.join(prop, lab("id") === prop("pid"), "left")
+      val next = lab.join(prop, lab("id") === prop("pid"), "left")
         .select($"id", $"lab".as("old"),
           least($"lab", coalesce($"nlab", $"lab")).as("lab2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .localCheckpoint(true) // eager: one job per round
       changed = next.where($"lab2" < $"old").count() // bounded: 1 scalar
-      cached.unpersist(false) // previous round's table, now superseded
-      cached = next
       lab = next.select($"id", $"lab2".as("lab"))
     }
-    // `cached` (the converged round) stays persisted until the caller
-    // materializes the result and invokes releaseCaches()
     lab.select($"id".as("doc_id"), $"lab".as("canon"),
         ($"lab" === $"id").as("keep"))
       .orderBy($"doc_id")

@@ -30,15 +30,23 @@ object PlanDump extends App {
   dump("q_simhash (native expression)", graft.queries.Queries.qSimhash(spark, sf),
     "Custom Catalyst expression `simhash64` evaluated INSIDE WholeStageCodegen (the *(n) stages) — no DeserializeToObject/typed-map serde boundary.")
   dump("q_ngram_jaccard", graft.queries.Queries.qNgramJaccard(spark, sf),
-    "Candidate pairs via per-shingle collect_set + bounded pair explosion (df-cut <= 20) instead of a shingle self-join; per-doc sizes are broadcast to the pair join. The per-shingle aggregate is persisted: every InMemoryTableScan below reads that ONE cache — the FileScan text printed under each is the cache's lineage, not an extra scan; the parquet source is read once at execution (the round-1 plan scanned it 3x).")
+    "Candidate pairs via per-shingle collect_set + bounded pair explosion (df-cut <= 20) instead of a shingle self-join. The per-doc sizes joins carry NO broadcast hint (sizes grows linearly with the corpus) — AQE broadcasts at this scale, shuffle-joins at 100x. The per-shingle aggregate is persisted: every InMemoryTableScan below reads that ONE cache — the FileScan text printed under each is the cache's lineage, not an extra scan; the parquet source is read once at execution (the round-1 plan scanned it 3x).")
   dump("q_st_ngrams (distributed part)", graft.queries.Queries.stNgramsTop(spark, sf),
     "select_ngrams rank<=200 as orderBy+limit -> TakeOrderedAndProject (per-partition top-k, merged on the driver); NO global row_number window (which would move the whole distinct-gram table to one partition). The <=200 survivors are numbered driver-side.")
   dump("q_ann_lsh", graft.queries.Queries.qAnnLsh(spark, sf),
     "LSH scale path, all-expression: the 16-bit signature is a codegen'd sum of sign-dot-products over literal hyperplane vectors; the query row is fetched via a PUSHED vec_id=0 scan filter (PushedFilters in the scan below) and broadcast; the hamming prune runs BEFORE any cosine is computed.")
   dump("q_dedup_embed", graft.queries.Queries.qDedupEmbed(spark, sf),
-    "Embedding-cosine near-dup: codegen'd LSH signatures -> two 8-bit bands -> ONE shuffle self-join on (band, bval) (115x candidate cut at sf0.01 vs all-pairs) -> exact cosine only on colliding pairs -> TakeOrderedAndProject top-20.")
+    "Embedding-cosine near-dup: codegen'd LSH signatures -> two 8-bit bands -> ONE shuffle self-join on (band, bval) (115x candidate cut at sf0.01 vs all-pairs) -> exact cosine only on colliding pairs -> duplicate band collisions collapsed by a NARROW max(cos) HashAggregate over (ida, idb) AFTER scoring (no first(embedding) SortAggregate) -> TakeOrderedAndProject top-20.")
+  dump("q_dedup_groups", graft.queries.Queries.qDedupGroups(spark, sf),
+    "Dedup verdict: connected components over verified edges (exact-hash window-min star edges + jaccard pairs) via iterative min-label propagation — the plan below is the CONVERGED round's label table joined back to ids; each round was one shuffle join + hash agg + a single collected scalar. Raw minhash band collisions are not edges (measured: they transitively collapse 97% of docs into one component).")
   dump("q_tpch_top_customers", graft.queries.Analytics.qTpchTopCustomers(spark, sf),
-    "Join battery shape: fact-fact join (lineitem x orders) left to AQE; dimension sides (customer, nation) broadcast; the rank window is PARTITIONED by nation (bounded partitions — never a global window); money summed as per-row integer cents so partial+final aggregation order cannot change the value.")
+    "Join battery shape: fact-fact join (lineitem x orders) left to AQE; customer (fact-scaling) carries NO hint — AQE broadcasts here, shuffles at scale; nation (constant 25 rows) is hinted; the rank window is PARTITIONED by nation (bounded partitions — never a global window); money summed as per-row integer cents so partial+final aggregation order cannot change the value.")
+  dump("q_tpch_promo", graft.queries.Analytics.qTpchPromo(spark, sf),
+    "Q14 shape: lineitem x part (part scales with sf — no hint, AQE decides), conditional cents aggregation per month; both scans are pruned to the 3 needed columns.")
+  dump("q_parts_cold", graft.queries.Analytics.qPartsCold(spark, sf),
+    "LEFT ANTI join: the quantity filter runs BEFORE the join (pushed to the probe-side scan) and only l_partkey survives pruning; no distinct needed — anti join emits each part at most once.")
+  dump("q_suppliers_hot", graft.queries.Analytics.qSuppliersHot(spark, sf),
+    "LEFT SEMI join: quantity+shipdate predicates pushed into the lineitem scan; semi join keeps supplier rows without per-match duplication (no post-join distinct).")
   dump("q_events_window", graft.queries.Analytics.qEventsWindow(spark, sf),
     "Batch mirror of the streaming 5-minute tumbling window: window(ts) + event_type hash agg, partial+final; w_start emitted as epoch seconds (timezone-free).")
   Files.writeString(Paths.get("/root/repo/PLANS.md"),
