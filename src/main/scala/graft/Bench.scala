@@ -66,13 +66,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // co-tenant noise protocol (BENCH.md): this box time-shares and
+    // identical runs swing up to 5x in multi-minute bursts, so each
+    // query runs SPARK_GRAFT_REPS times (default 2) and reports the
+    // min — one burst can no longer masquerade as a regression.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val (_, sec) = time(fn(spark, sfDir).count())
-        // free per-query persisted caches (qNgramJaccard's shingle agg)
-        // so later queries aren't measured against leaked cache blocks
-        graft.queries.Queries.releaseCaches()
-        name -> sec
+        // q_correct_docs runs ONCE: its dominant cost is the one-time
+        // distributed model training, which later reps would skip via
+        // the per-dir model cache — a min over reps would hide it
+        val qreps = if (name == "q_correct_docs") 1 else reps
+        val secs = (1 to qreps).map { _ =>
+          val (_, sec) = time(fn(spark, sfDir).count())
+          // free per-query persisted caches (qNgramJaccard's shingle
+          // agg) so later passes aren't measured against leaked blocks
+          graft.queries.Queries.releaseCaches()
+          sec
+        }
+        name -> secs.min
       }
     }
 
@@ -80,7 +92,10 @@ object Bench {
     val model = fixtureModel()
     val nDocs = if (sfDir.endsWith("0.1")) 3000L else 600L
     correctionThroughput(spark, model, 200L, cpus.toInt) // warmup
-    val (spans, corrSec) = correctionThroughput(spark, model, nDocs, cpus.toInt)
+    // best-of-reps for the flagship too (same noise protocol)
+    val (spans, corrSec) = (1 to reps)
+      .map(_ => correctionThroughput(spark, model, nDocs, cpus.toInt))
+      .minBy(_._2)
 
     val qs = (results :+ ("flagship_correction" -> corrSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
