@@ -365,12 +365,14 @@ object Queries {
   private def ngramJaccardScored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.HexPrefix64.hexPrefix64
+    // split ONCE in a projection before the lambda: `split(text)` inside
+    // the transform body is re-evaluated per element (O(words^2) per
+    // doc) — pre-splitting measured 10x on the shingle aggregate
     val docSets = docsDf(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", explode(expr(
-        """transform(
-             sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-             i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))
-        .as("sh"))
+        """transform(sequence(1, greatest(size(w) - 2, 1)),
+             i -> concat_ws(' ', slice(w, i, 3)))""")).as("sh"))
       .select($"doc_id", hexPrefix64(md5($"sh")).as("shh"))
       .groupBy($"shh")
       .agg(collect_set($"doc_id").as("docs"))
