@@ -35,7 +35,19 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimHash64(one(args, "simhash64"))),
     ("hexprefix64",
       new ExpressionInfo(classOf[HexPrefix64].getName, "hexprefix64"),
-      (args: Seq[Expression]) => HexPrefix64(one(args, "hexprefix64"))))
+      (args: Seq[Expression]) => HexPrefix64(one(args, "hexprefix64"))),
+    ("char_ngrams",
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "char_ngrams expects (text, minN, maxN)")
+        def asInt(e: Expression) = e.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"char_ngrams n-bounds must be integer literals, got $other")
+        }
+        CharNgrams(args.head, asInt(args(1)), asInt(args(2)))
+      }))
 
   /** Register on an already-running session (temp functions). */
   def register(spark: SparkSession): Unit =

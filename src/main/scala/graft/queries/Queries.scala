@@ -125,9 +125,8 @@ object Queries {
   def qNgramTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docsDf(s, dir).where(length($"text") >= 3)
-      .select(explode(expr(
-        "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))"))
-        .as("gram"))
+      .select(explode(
+        graft.functions.CharNgrams.charNgrams($"text", 3, 3)).as("gram"))
       .groupBy($"gram").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("gram")).limit(50)
   }
@@ -149,10 +148,8 @@ object Queries {
   def stNgramsTop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docsDf(s, dir).where(length($"text") >= 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, length(text)), i ->
-             transform(sequence(1, least(3, length(text) - i + 1)), n ->
-               substring(text, i, n))))""")).as("gram"))
+      .select(explode(
+        graft.functions.CharNgrams.charNgrams($"text", 1, 3)).as("gram"))
       .groupBy($"gram").agg(count(lit(1)).as("cnt"))
       .orderBy((length($"gram") <= 1).desc, $"cnt".desc, $"gram".asc)
       .limit(200)
@@ -318,10 +315,12 @@ object Queries {
     // then stack to long form (vs 4x explode+groupBy — 4 shuffles)
     def bandSig(b: Int) =
       min(hexPrefix64(substring($"h", b * 8 + 1, 8))).as(s"s$b")
+    // char_ngrams: one linear pass per row (the transform+substring SQL
+    // form re-locates char offsets from the string start per element —
+    // O(len^2) per doc)
     val sh = docsDf(s, dir).where(length($"text") >= 8)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, length(text)-7), i -> substring(text, i, 8))"))
-        .as("sh"))
+      .select($"doc_id",
+        explode(graft.functions.CharNgrams.charNgrams($"text", 8, 8)).as("sh"))
       .select($"doc_id", md5($"sh").as("h"))
     sh.groupBy($"doc_id")
       .agg(bandSig(0), bandSig(1), bandSig(2), bandSig(3))

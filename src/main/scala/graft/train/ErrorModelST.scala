@@ -268,10 +268,8 @@ object ErrorModelST {
     pairs.toDF("ocr", "gt")
       .select(explode(array($"ocr", $"gt")).as("text"))
       .where(length($"text") >= 1)
-      .select(explode(expr(
-        s"""flatten(transform(sequence(1, length(text)), i ->
-              transform(sequence(1, least($maxN, length(text) - i + 1)), n ->
-                substring(text, i, n))))""")).as("gram"))
+      .select(explode(
+        graft.functions.CharNgrams.charNgrams($"text", 1, maxN)).as("gram"))
       .groupBy($"gram").agg(count(lit(1)).as("cnt"))
       .orderBy((length($"gram") <= 1).desc, $"cnt".desc, $"gram".asc)
       .limit(maxNgrams + 1)

@@ -71,8 +71,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getLong(0) == TextOps.simhash64("the quick brown fox"))
     assert(row.getLong(1) == 1052003359986274704L) // int('e99777b6e7fd190',16)
     // the extensions class builds the same registrations (spark-submit path)
-    assert(GraftFunctions.all.map(_._1).toSet == Set("simhash64", "hexprefix64"))
+    assert(GraftFunctions.all.map(_._1).toSet ==
+      Set("simhash64", "hexprefix64", "char_ngrams"))
     new GraftExtensions() // constructible via reflection by spark.sql.extensions
+  }
+
+  test("CharNgrams == transform/substring SQL form, stays in codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real corpus + unicode edges (umlauts, combining marks, CJK — all
+    // multi-byte UTF-8 where per-gram offset scanning matters)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").as[String].collect().take(50).toSeq ++
+      Seq("aͤbc", "über", "日本語のテキスト", "a", "", "ab")
+    val df = docs.toDF("text")
+    for ((mn, mx) <- Seq((1, 3), (3, 3), (8, 8))) {
+      val got = df.select(CharNgrams.charNgrams($"text", mn, mx).as("g"))
+        .as[Seq[String]].collect().map(_.sorted.toList)
+      val ref = df.select(expr(
+        s"""flatten(transform(sequence(1, length(text)), i ->
+              transform(sequence(1, least($mx, length(text) - i + 1)), n ->
+                substring(text, i, n))))""").as("g"))
+        .as[Seq[String]].collect()
+        .map(_.filter(g => g.codePointCount(0, g.length) >= mn).sorted.toList)
+      assert(got.toSeq == ref.toSeq, s"($mn,$mx)")
+    }
+    // codegen residency: no DeserializeToObject boundary
+    val plan = df.select(explode(CharNgrams.charNgrams($"text", 3, 3)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), plan)
+    // nulls
+    val nulls = Seq[String](null).toDF("text")
+      .select(CharNgrams.charNgrams($"text", 1, 3)).collect()
+    assert(nulls.head.isNullAt(0))
+    // SQL registration path
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT size(char_ngrams('abcd', 2, 2)) s").head().getInt(0) == 3)
   }
 
   test("SimHash64 handles nulls") {
