@@ -14,10 +14,10 @@ object Bench {
     "q_correct_docs", "q_token_counts", "q_lexicon_counts",
     "q_confusion_counts", "q_ngram_topk", "q_cer_lev",
     "q_dedup_exact", "q_dedup_minhash", "q_ngram_jaccard",
-    "q_ann_cosine", "q_ann_lsh", "q_dedup_embed", "q_dedup_groups",
+    "q_ann_cosine", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed", "q_dedup_groups",
     "q_simhash", "q_quality", "q_fingerprint",
     "q_tpch_pricing", "q_tpch_top_customers", "q_tpch_promo",
-    "q_parts_cold", "q_suppliers_hot", "q_events_window")
+    "q_parts_cold", "q_suppliers_hot", "q_events_window", "q_events_asof")
 
   def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()

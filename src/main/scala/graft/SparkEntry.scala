@@ -49,6 +49,7 @@ object SparkEntry {
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),
     "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),
+    "q_ann_ivf" -> (Queries.qAnnIvf(_, _)),
     // training-data pipeline: multimodal plumbing
     "q_media_features" -> (Queries.qMediaFeatures(_, _)),
     // relational analytics battery (TPC-H-ish tables + events)
@@ -59,6 +60,7 @@ object SparkEntry {
     "q_parts_cold" -> (Analytics.qPartsCold(_, _)),
     "q_suppliers_hot" -> (Analytics.qSuppliersHot(_, _)),
     "q_events_window" -> (Analytics.qEventsWindow(_, _)),
+    "q_events_asof" -> (Analytics.qEventsAsof(_, _)),
     // training-data pipeline: text analysis
     "q_quality" -> (Queries.qQuality(_, _)),
     "q_token_count_regex" -> (Queries.qTokenCountRegex(_, _)),

@@ -153,6 +153,39 @@ object Analytics {
       .orderBy($"s_suppkey")
   }
 
+  /** AS-OF join (purchase -> most recent prior view by the same user),
+    * an operator Spark lacks natively. Implemented the 100-TB way: tag
+    * both sides, union, ONE shuffle on user_id, and carry the last
+    * view forward with a running `last(..., ignoreNulls)` window —
+    * never a range self-join (whose output explodes quadratically in
+    * events-per-user). Ties (view.ts == purchase.ts) match, like
+    * DuckDB's ASOF `ON p.ts >= v.ts` (the side column orders views
+    * before purchases at equal ts). Inner form: purchases with no
+    * prior view are dropped. */
+  def qEventsAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val tagged = ev.where($"event_type".isin("view", "purchase"))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        cents("value").as("value_c"),
+        when($"event_type" === "purchase", 1).otherwise(0).as("side"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".asc, $"side".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_view", last(
+        when($"side" === 0, struct($"ts_us", $"value_c")),
+        ignoreNulls = true).over(w))
+      .where($"side" === 1 && $"last_view".isNotNull)
+      .select($"event_id", $"user_id", $"ts_us".as("p_ts_us"),
+        $"value_c".as("p_value_c"),
+        $"last_view.ts_us".as("v_ts_us"),
+        $"last_view.value_c".as("v_value_c"))
+      .orderBy($"event_id")
+  }
+
   /** Batch mirror of the streaming 5-minute window aggregation
     * (StreamingCorrection.eventWindowAgg): tumbling window per
     * event_type, epoch-aligned; window start emitted as epoch seconds

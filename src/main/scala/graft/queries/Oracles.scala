@@ -186,6 +186,42 @@ object Oracles {
       |FROM embeddings, q
       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  val qAnnIvf: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 16
+      |), assign AS (
+      |  SELECT e.vec_id, cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), cv)
+      |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(cv, cv))) DESC,
+      |    cent_id ASC) AS rn
+      |  FROM embeddings e CROSS JOIN cents
+      |), cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      |probes AS (
+      |  SELECT cent_id FROM cents, q
+      |  ORDER BY list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC, cent_id ASC
+      |  LIMIT 2
+      |)
+      |SELECT e.vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+      |  / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(qv, qv))), 4) AS cos
+      |FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id, q
+      |WHERE cells.cell IN (SELECT cent_id FROM probes)
+      |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+
+  /** Native DuckDB ASOF JOIN as the oracle for the union+window as-of
+    * implementation (independent algorithms, same semantics; view/
+    * purchase timestamps are unique per user in the corpus so the tie
+    * case cannot diverge). */
+  val qEventsAsof: String =
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
+      |  CAST(round(p.value * 100) AS BIGINT) AS p_value_c,
+      |  epoch_us(v.ts) AS v_ts_us,
+      |  CAST(round(v.value * 100) AS BIGINT) AS v_value_c
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val qQuality: String =
     """WITH t AS (
       |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
@@ -404,6 +440,8 @@ object Oracles {
     "q_parts_cold" -> qPartsCold,
     "q_suppliers_hot" -> qSuppliersHot,
     "q_events_window" -> qEventsWindow,
+    "q_events_asof" -> qEventsAsof,
+    "q_ann_ivf" -> qAnnIvf,
     "q_token_count_regex" -> qTokenCountRegex,
     "q_fingerprint" -> qFingerprint)
 }

@@ -522,6 +522,54 @@ object Queries {
       .orderBy(desc("cos"), asc("vec_id")).limit(10)
   }
 
+  /** IVF-flat ANN (the other classic scale path besides LSH): a coarse
+    * quantizer of 16 sampled centroids (vec_id < 16 — deterministic, so
+    * the DuckDB oracle reproduces it; production would Lloyd-refine
+    * them, which only moves the centroids, not the dataflow), each
+    * vector assigned to its max-cosine cell, the query probing the 2
+    * nearest cells and ranking exact cosine INSIDE those cells only.
+    *
+    * Scale shape: the centroid table is FIXED-size (16 rows) — the one
+    * broadcast hint here that is justified at any corpus size; the
+    * assign step is a broadcast nested-loop + partial max_by (the 16x
+    * row inflation collapses map-side before the shuffle); at 100 TB
+    * cell assignments would be a stored bucketed column, and the probe
+    * scan prunes ~7/8 of the table before any full-precision cosine. */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val cents = e.where($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
+    val cos =
+      """aggregate(zip_with(embedding, cv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+        | / (sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |    * sqrt(aggregate(cv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+    // cell assignment: max cosine centroid, ties -> smallest cent_id.
+    // NARROW agg (vec_id, cell) — no first(embedding), which would drag
+    // the arrays through a wide aggregate; embeddings re-attach by key
+    // AFTER the probe prune, on the ~1/8 surviving rows only
+    val assign = e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cent_id", expr(cos).as("ccos"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cent_id", struct($"ccos", -$"cent_id")).as("cell"))
+    // probe cells: the 2 centroids nearest the query vector (16-row
+    // driver-side collect — bounded by the fixed centroid count)
+    val probes = e.where($"vec_id" === 0).select($"embedding".as("qv"))
+      .crossJoin(broadcast(cents))
+      .select($"cent_id", expr(cos.replace("embedding", "qv")).as("qcos"))
+      .orderBy(desc("qcos"), asc("cent_id")).limit(2)
+      .as[(Long, Double)].collect().map(_._1)
+    val q = e.where($"vec_id" === 0).select($"embedding".as("qv"))
+    val dot = "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    val na = "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    val nb = "sqrt(aggregate(qv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    assign.where($"cell".isin(probes.toSeq: _*)) // IVF prune BEFORE full cosine
+      .join(e, "vec_id") // re-attach embeddings to probed survivors
+      .crossJoin(broadcast(q))
+      .select($"vec_id", round(expr(s"$dot / ($na * $nb)"), 4).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(10)
+  }
+
   /** Embedding-cosine near-dup (the dedup family's scale path over
     * vectors): 16-bit LSH signatures split into two 8-bit bands; only
     * pairs colliding in some band are scored (sf0.01: 1,079 candidates
