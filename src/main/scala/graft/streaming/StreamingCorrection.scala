@@ -31,6 +31,50 @@ object StreamingCorrection {
   def toMemorySink(ds: Dataset[Doc], queryName: String): DataStreamWriter[Doc] =
     ds.writeStream.outputMode("append").format("memory").queryName(queryName)
 
+  /** Streaming EXACT DEDUP with custom state
+    * (KeyValueGroupedDataset.flatMapGroupsWithState): keyed by content
+    * hash, the state remembers the first-seen doc id and every later
+    * arrival of the same content is dropped — the streaming face of
+    * qDedupExact. State is one (hash -> doc_id) entry per distinct
+    * content; ProcessingTimeTimeout lets long-idle keys expire so state
+    * is bounded by the active window of the stream, not its full
+    * history (at 100 TB/day the timeout IS the retention policy). */
+  def dedupStream(docs: Dataset[Doc], stateTimeoutMs: Long = 0L): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // NoTimeout unless retention is requested: once ProcessingTimeTimeout
+    // is registered the engine keeps scheduling timeout-check
+    // micro-batches even with no incoming data — an always-on churn
+    // loop for a query that set no timeouts
+    val timeoutConf =
+      if (stateTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    docs
+      .groupByKey(d => java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("MD5").digest(
+          d.spans.map(s => s.kind + "\u0000" + s.text + "\u0000").mkString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      .flatMapGroupsWithState[String, Doc](OutputMode.Append, timeoutConf) {
+        (_: String, rows: Iterator[Doc], state: GroupState[String]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out =
+              if (state.exists) Iterator.empty // seen before: drop all
+              else {
+                // keep exactly one doc for new content: min doc_id in
+                // this batch (deterministic across micro-batch splits
+                // of the same batch is not required — first-wins is the
+                // streaming-dedup contract)
+                val keeper = rows.minBy(d => (d.doc_id.length, d.doc_id))
+                state.update(keeper.doc_id)
+                Iterator.single(keeper)
+              }
+            if (stateTimeoutMs > 0) state.setTimeoutDuration(stateTimeoutMs)
+            out
+          }
+      }
+  }
+
   /** Watermarked windowed aggregation over the events stream shape
     * (event_id, ts, user_id, event_type, value): counts + sums per
     * 5-minute window, 10-minute watermark for late data. */

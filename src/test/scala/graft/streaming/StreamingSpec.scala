@@ -37,6 +37,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming dedup keeps first-seen content only") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-dedup").toString
+    val docs = DocGen.docs(spark, 20, seed = 5L, partitions = 2)
+    // every doc duplicated under a longer id: dedup must drop all
+    // copies and keep the shortest-id original (first-wins order)
+    val dup = docs.map(d => d.copy(doc_id = "dup-" + d.doc_id))
+    docs.union(dup).write.mode("overwrite").parquet(dir)
+    val stream = StreamingCorrection.readDocStream(spark, dir)
+    val q = StreamingCorrection.dedupStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("deduped").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("deduped").as[graft.pipeline.Doc].collect()
+      assert(kept.length == 20, s"got ${kept.length}")
+      assert(!kept.exists(_.doc_id.startsWith("dup-")),
+        "must keep the first-seen originals")
+      assert(kept.map(_.doc_id).distinct.length == 20)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over the events shape") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream-events").toString
