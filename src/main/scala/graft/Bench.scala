@@ -14,7 +14,7 @@ object Bench {
     "q_correct_docs", "q_token_counts", "q_lexicon_counts",
     "q_confusion_counts", "q_ngram_topk", "q_cer_lev",
     "q_dedup_exact", "q_dedup_minhash", "q_ngram_jaccard",
-    "q_ann_cosine", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed", "q_dedup_groups",
+    "q_ann_cosine", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed", "q_dedup_groups", "q_dedup_simhash",
     "q_simhash", "q_quality", "q_fingerprint",
     "q_tpch_pricing", "q_tpch_top_customers", "q_tpch_promo",
     "q_parts_cold", "q_suppliers_hot", "q_events_window", "q_events_asof")

@@ -45,6 +45,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (Queries.qNgramJaccard(_, _)),
     "q_dedup_embed" -> (Queries.qDedupEmbed(_, _)),
     "q_dedup_groups" -> (Queries.qDedupGroups(_, _)),
+    "q_dedup_simhash" -> (Queries.qDedupSimhash(_, _)),
     "q_simhash" -> (Queries.qSimhash(_, _)),
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),

@@ -249,6 +249,49 @@ object Oracles {
     * the md5 byte, reassemble the signed 64-bit value (bit 63 as the
     * two's-complement term). Tokenization = regex \s+, the same set the
     * Catalyst expression splits on. */
+  /** Shared 64-bit SimHash signature CTEs (toks -> per-bit votes -> h;
+    * `sigs` = every doc with its signature, 0 for token-less docs). */
+  private val simhashCtes: String =
+    """toks AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |    FROM documents) t
+      |  WHERE tok <> ''
+      |), votes AS (
+      |  SELECT doc_id, CAST(b.i AS INTEGER) AS i,
+      |    sum(CASE WHEN ((CAST(('0x' || substr(md5(tok),
+      |            (CAST(b.i AS INTEGER) // 8) * 2 + 1, 2)) AS INTEGER)
+      |          >> (CAST(b.i AS INTEGER) % 8)) & 1) = 1
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM toks, (SELECT unnest(range(0, 64)) AS i) b
+      |  GROUP BY doc_id, b.i
+      |), h AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN v > 0 THEN
+      |      CASE WHEN i = 63 THEN CAST(-9223372036854775807 AS HUGEINT) - 1
+      |           ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT) END
+      |      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id
+      |), sigs AS (
+      |  SELECT d.doc_id, COALESCE(h.simhash, 0) AS sh
+      |  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+      |)""".stripMargin
+
+  val qDedupSimhash: String =
+    s"""WITH $simhashCtes, banded AS (
+       |  SELECT doc_id, sh, b.band, CAST((sh >> (16 * b.band)) & 65535 AS INTEGER) AS bval
+       |  FROM sigs, (SELECT unnest([0,1,2,3]) AS band) b
+       |), buckets AS (
+       |  SELECT band, bval FROM banded GROUP BY band, bval HAVING count(*) BETWEEN 2 AND 20
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb, x.sh AS sa, y.sh AS sb
+       |  FROM banded x JOIN buckets bu ON x.band = bu.band AND x.bval = bu.bval
+       |  JOIN banded y ON y.band = bu.band AND y.bval = bu.bval AND x.doc_id < y.doc_id
+       |)
+       |SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 16
+       |ORDER BY hamming, ida, idb""".stripMargin
+
   val qSimhash: String =
     """WITH toks AS (
       |  SELECT doc_id, tok FROM (
@@ -427,6 +470,7 @@ object Oracles {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_groups" -> qDedupGroups,
+    "q_dedup_simhash" -> qDedupSimhash,
     "q_ann_cosine" -> qAnnCosine,
     "q_ann_lsh" -> qAnnLsh,
     "q_dedup_embed" -> qDedupEmbed,

@@ -482,6 +482,39 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** SimHash near-dup PAIRS: 64-bit signatures banded into 4x16 bits;
+    * docs colliding in some band (bucket df-cut <= 20, the family's
+    * standard) are candidates, scored by exact hamming distance and
+    * kept at <= 16 bits. One signature scan (the codegen'd native
+    * expression), one band shuffle — no all-pairs join anywhere; the
+    * same banded-LSH shape as qDedupEmbed, over bits instead of
+    * vectors. The low-hamming output reproduces the jaccard-confirmed
+    * near-dup pairs (cross-method agreement checked in the spec). */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = docsDf(s, dir)
+      .select($"doc_id",
+        graft.functions.SimHash64.simhash64($"text").as("sh"))
+    val banded = sigs.select($"doc_id", $"sh",
+      expr("""stack(4, 0, CAST(shiftright(sh,  0) & 65535 AS INT),
+                      1, CAST(shiftright(sh, 16) & 65535 AS INT),
+                      2, CAST(shiftright(sh, 32) & 65535 AS INT),
+                      3, CAST(shiftright(sh, 48) & 65535 AS INT)) AS (band, bval)"""))
+    val pairs = banded
+      .groupBy($"band", $"bval")
+      .agg(collect_set(struct($"doc_id", $"sh")).as("docs"))
+      .where(size($"docs").between(2, 20))
+      .select(explode(expr(
+        """flatten(transform(array_sort(docs), (a, i) ->
+             transform(slice(array_sort(docs), i + 2, size(docs)), b ->
+               struct(a.doc_id AS ida, b.doc_id AS idb,
+                      a.sh AS sa, b.sh AS sb))))""")).as("p"))
+      .select($"p.ida".as("ida"), $"p.idb".as("idb"),
+        expr("CAST(bit_count(p.sa ^ p.sb) AS INT)").as("hamming"))
+      .groupBy($"ida", $"idb").agg(min($"hamming").as("hamming"))
+    pairs.where($"hamming" <= 16).orderBy($"hamming", $"ida", $"idb")
+  }
+
   // ------------------------------------------------------------ similarity search
 
   /** Brute-force cosine top-k vs the vec_id=0 query vector (double

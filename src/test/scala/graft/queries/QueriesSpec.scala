@@ -134,6 +134,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(cached.isEmpty, "releaseCaches() must unpersist the shingle aggregate")
   }
 
+  test("dedup simhash pairs: exact hamming, genuine band collisions, brute-force subset") {
+    val rows = Queries.qDedupSimhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // driver-side brute force over the tiny sf0.001 corpus
+    val sigs = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => r.getLong(0) -> TextOps.simhash64(r.getString(1))).toMap
+    def band(sh: Long, b: Int): Int = ((sh >>> (16 * b)) & 0xFFFF).toInt
+    rows.foreach { case (a, b, hm) =>
+      assert(a < b)
+      assert(hm <= 16)
+      // reported hamming is the true signature distance
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) == hm, s"($a,$b)")
+      // candidates only arise from a real band collision
+      assert((0 until 4).exists(i => band(sigs(a), i) == band(sigs(b), i)))
+    }
+  }
+
   test("dedup groups: labels converge to component minima (closure sanity)") {
     val rows = Queries.qDedupGroups(spark, sf).collect()
     Queries.releaseCaches()
