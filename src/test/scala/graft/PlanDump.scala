@@ -39,6 +39,12 @@ object PlanDump extends App {
     "Embedding-cosine near-dup: codegen'd LSH signatures -> two 8-bit bands -> ONE shuffle self-join on (band, bval) (115x candidate cut at sf0.01 vs all-pairs) -> exact cosine only on colliding pairs -> duplicate band collisions collapsed by a NARROW max(cos) HashAggregate over (ida, idb) AFTER scoring (no first(embedding) SortAggregate) -> TakeOrderedAndProject top-20.")
   dump("q_dedup_groups", graft.queries.Queries.qDedupGroups(spark, sf),
     "Dedup verdict: connected components over verified edges (exact-hash window-min star edges + jaccard pairs) via iterative min-label propagation — the plan below is the CONVERGED round's label table joined back to ids; each round was one shuffle join + hash agg + a single collected scalar. Raw minhash band collisions are not edges (measured: they transitively collapse 97% of docs into one component).")
+  dump("q_dedup_simhash", graft.queries.Queries.qDedupSimhash(spark, sf),
+    "SimHash near-dup pairs: codegen'd signature scan -> stack into 4x16-bit bands -> ONE band shuffle -> bounded bucket pair explosion (df-cut <= 20) -> exact hamming (bit_count of xor) only on collided candidates. Same banded-LSH plan shape as q_dedup_embed, over bits instead of vectors.")
+  dump("q_ann_ivf", graft.queries.Queries.qAnnIvf(spark, sf),
+    "IVF-flat ANN: FIXED-size (16-row) centroid broadcast — the one hint justified at any scale — feeds a narrow max_by cell assignment (partial agg collapses the 16x inflation map-side); the probe filter prunes ~7/8 of cells BEFORE embeddings re-attach by key for the full-precision cosine.")
+  dump("q_events_asof", graft.queries.Analytics.qEventsAsof(spark, sf),
+    "AS-OF join without a range self-join: tag view/purchase, union, ONE user_id shuffle, running last(ignoreNulls) window carries the latest prior view to each purchase. Output is linear in events; a range join would be quadratic in events-per-user.")
   dump("q_tpch_top_customers", graft.queries.Analytics.qTpchTopCustomers(spark, sf),
     "Join battery shape: fact-fact join (lineitem x orders) left to AQE; customer (fact-scaling) carries NO hint — AQE broadcasts here, shuffles at scale; nation (constant 25 rows) is hinted; the rank window is PARTITIONED by nation (bounded partitions — never a global window); money summed as per-row integer cents so partial+final aggregation order cannot change the value.")
   dump("q_tpch_promo", graft.queries.Analytics.qTpchPromo(spark, sf),
