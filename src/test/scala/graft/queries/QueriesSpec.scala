@@ -174,6 +174,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("plan shape: as-of join is one user_id exchange + window, no range join") {
+    val plan = Analytics.qEventsAsof(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"as-of must not realize as a range/cross join:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("user_id")),
+      s"running-last window must be partitioned by user_id:\n$plan")
+  }
+
   test("plan shape: tpch top-customers broadcasts dims; window is partitioned") {
     val plan = Analytics.qTpchTopCustomers(spark, sf)
       .queryExecution.executedPlan.toString
