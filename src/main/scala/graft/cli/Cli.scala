@@ -166,7 +166,8 @@ object Process {
       val base = a.get("model-file") match {
         case Some(f) => ModelIO.loadModel(f)
         case None => CompiledModel(
-          errorFst = a.get("error-model-file").map(ModelIO.loadFst),
+          errorFst = a.get("error-model-file").map(ModelIO.loadFst)
+            .map(CompiledModel.normalizeError),
           windowFst = ModelIO.loadFst(a("lexicon-file")))
       }
       val model = base.copy(
