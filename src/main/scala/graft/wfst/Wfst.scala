@@ -52,6 +52,26 @@ private[wfst] final class Scratch {
   // and boxes tuples — then a primitive heap, but closures are tiny
   // glue chains and plain FIFO relaxation beat both)
   var heapS = new Array[Int](256)
+  // dense product-state id table (compose fast path when
+  // leftN * rightN <= Scratch.DenseMax): one array read replaces the
+  // hash probe chain (JFR: LongIntMap.idx was 13.5% of flagship
+  // self-time — three dependent cache misses per lookup). Stamp array
+  // gives O(1) clear, same trick as LongIntMap's epoch.
+  var denseId = new Array[Int](0)
+  var denseStamp = new Array[Int](0)
+  var denseEpoch = 0
+  def ensureDense(n: Int): Unit = {
+    if (n > denseId.length) {
+      denseId = new Array[Int](n)
+      denseStamp = new Array[Int](n)
+      denseEpoch = 0
+    }
+    if (denseEpoch == Int.MaxValue) {
+      java.util.Arrays.fill(denseStamp, 0)
+      denseEpoch = 0
+    }
+    denseEpoch += 1
+  }
 
   def growStates(n: Int): Unit = if (n > pairA.length) {
     val c = math.max(pairA.length << 1, n)
@@ -65,6 +85,12 @@ private[wfst] final class Scratch {
 }
 
 private[wfst] object Scratch {
+  /** Max product-space size for the dense compose id table: 1M entries
+    * = 8 MB of per-thread scratch worst-case (grown lazily to the max
+    * actually used — the cascade's error-model step needs ~20k). Above
+    * this the hash map takes over (the lexicon windowFst compose). */
+  val DenseMax = 1 << 20
+
   def ensureInt(a: Array[Int], n: Int): Array[Int] =
     if (a.length >= n) a else new Array[Int](math.max(a.length << 1, n))
   def ensureBool(a: Array[Boolean], n: Int): Array[Boolean] =
@@ -765,17 +791,37 @@ final class Wfst private (
     val stateIds = sc.map; stateIds.clear()
     val sink = sc.sink; sink.n = 0
     var nStates = 0
+    // dense fast path: direct-indexed id table when the product space
+    // fits (the error-model cascade step is ~30 x ~650 — one array
+    // read replaces three dependent hash-probe cache misses)
+    val rightN = that.numStates
+    val dense = this.numStates.toLong * rightN <= Scratch.DenseMax
+    if (dense) sc.ensureDense(this.numStates * rightN)
+    val dId = sc.denseId; val dSt = sc.denseStamp; val dEp = sc.denseEpoch
     def id(p: Int, q: Int): Int = {
-      val k = p.toLong << 32 | (q.toLong & 0xffffffffL)
-      val existing = stateIds.getOrElse(k, -1)
-      if (existing >= 0) existing
-      else {
-        sc.growStates(nStates + 1)
-        sc.pairA(nStates) = p; sc.pairB(nStates) = q
-        sc.rangeStart(nStates) = 0; sc.rangeLen(nStates) = 0
-        stateIds.put(k, nStates)
-        nStates += 1
-        nStates - 1
+      if (dense) {
+        val di = p * rightN + q
+        if (dSt(di) == dEp) dId(di)
+        else {
+          sc.growStates(nStates + 1)
+          sc.pairA(nStates) = p; sc.pairB(nStates) = q
+          sc.rangeStart(nStates) = 0; sc.rangeLen(nStates) = 0
+          dId(di) = nStates; dSt(di) = dEp
+          nStates += 1
+          nStates - 1
+        }
+      } else {
+        val k = p.toLong << 32 | (q.toLong & 0xffffffffL)
+        val existing = stateIds.getOrElse(k, -1)
+        if (existing >= 0) existing
+        else {
+          sc.growStates(nStates + 1)
+          sc.pairA(nStates) = p; sc.pairB(nStates) = q
+          sc.rangeStart(nStates) = 0; sc.rangeLen(nStates) = 0
+          stateIds.put(k, nStates)
+          nStates += 1
+          nStates - 1
+        }
       }
     }
     id(this.start, that.start)
@@ -1048,19 +1094,40 @@ final class Wfst private (
     // skipped in the final copy). No per-arc object allocation.
     val sink = sc.sink; sink.n = 0
     var nStates = 0
+    // dense fast path (see expandProduct): direct-indexed id table
+    // when leftN * rightN fits
+    val rightN = that.numStates
+    val dense = this.numStates.toLong * rightN <= Scratch.DenseMax
+    if (dense) sc.ensureDense(this.numStates * rightN)
+    val dId = sc.denseId; val dSt = sc.denseStamp; val dEp = sc.denseEpoch
     def id(p: Int, q: Int): Int = {
-      val k = p.toLong << 32 | (q.toLong & 0xffffffffL)
-      val existing = stateIds.getOrElse(k, -1)
-      if (existing >= 0) existing
-      else {
-        sc.growStates(nStates + 1)
-        sc.pairA(nStates) = p; sc.pairB(nStates) = q
-        sc.dist(nStates) = Double.PositiveInfinity
-        sc.rangeStart(nStates) = 0; sc.rangeLen(nStates) = 0
-        sc.flags(nStates) = false // in-queue flag, clean at creation
-        stateIds.put(k, nStates)
-        nStates += 1
-        nStates - 1
+      if (dense) {
+        val di = p * rightN + q
+        if (dSt(di) == dEp) dId(di)
+        else {
+          sc.growStates(nStates + 1)
+          sc.pairA(nStates) = p; sc.pairB(nStates) = q
+          sc.dist(nStates) = Double.PositiveInfinity
+          sc.rangeStart(nStates) = 0; sc.rangeLen(nStates) = 0
+          sc.flags(nStates) = false // in-queue flag, clean at creation
+          dId(di) = nStates; dSt(di) = dEp
+          nStates += 1
+          nStates - 1
+        }
+      } else {
+        val k = p.toLong << 32 | (q.toLong & 0xffffffffL)
+        val existing = stateIds.getOrElse(k, -1)
+        if (existing >= 0) existing
+        else {
+          sc.growStates(nStates + 1)
+          sc.pairA(nStates) = p; sc.pairB(nStates) = q
+          sc.dist(nStates) = Double.PositiveInfinity
+          sc.rangeStart(nStates) = 0; sc.rangeLen(nStates) = 0
+          sc.flags(nStates) = false // in-queue flag, clean at creation
+          stateIds.put(k, nStates)
+          nStates += 1
+          nStates - 1
+        }
       }
     }
     val s0 = id(this.start, that.start)
