@@ -174,6 +174,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("plan shape: parts-cold is LeftAnti, suppliers-hot is LeftSemi, filters pushed") {
+    val anti = Analytics.qPartsCold(spark, sf).queryExecution.executedPlan.toString
+    assert(anti.contains("LeftAnti"), anti)
+    assert(anti.contains("PushedFilters") && anti.contains("GreaterThan(l_quantity"),
+      s"bulk-quantity filter must reach the lineitem scan:\n$anti")
+    val semi = Analytics.qSuppliersHot(spark, sf).queryExecution.executedPlan.toString
+    assert(semi.contains("LeftSemi"), semi)
+    assert(semi.contains("GreaterThan(l_quantity"),
+      s"quantity filter must reach the lineitem scan:\n$semi")
+  }
+
   test("plan shape: as-of join is one user_id exchange + window, no range join") {
     val plan = Analytics.qEventsAsof(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
