@@ -3,7 +3,7 @@ package graft.cli
 import graft.align.Distance
 import graft.correct.{CompiledModel, Corrector}
 import graft.pipeline.CorrectionJob
-import graft.sources.{ModelIO, Sources}
+import graft.sources.{ModelIO, PageXml, Sources}
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
@@ -176,25 +176,44 @@ object Process {
         rejectionWeight = a.get("rejection-weight").map(_.toDouble)
           .getOrElse(base.rejectionWeight))
       val bc = CorrectionJob.broadcastModel(spark, model)
-      val in = (a.get("input-file") match {
-        case Some(f) => Sources.loadPairsFromFile(spark, f)
-        case None => Sources.loadPairsFromDir(spark, a("directory"),
-          a("input-suffix")) // process.py:168-169
-      }).as[(String, String)]
-      val out = in.mapPartitions { it =>
-        val m = bc.value
-        val cache = graft.correct.SharedWindowCache.forModel(m)
-        it.map { case (id, line) =>
-          (id, Corrector.correctLine(line, m, cache))
+      if (a.contains("page-xml-dir")) {
+        // PAGE-XML workspace mode (the OCR-D wrapper's dataflow,
+        // wrapper/decode.py): correct every TextLine of every page
+        // file and write corrected copies with updated TextEquivs
+        val srcDir = a("page-xml-dir")
+        val outDir = a.getOrElse("page-xml-out", srcDir + "-corrected")
+        val lines = PageXml.loadPageXmlDir(spark, srcDir)
+          .as[(String, String, String)]
+        val corrected = lines.mapPartitions { it =>
+          val m = bc.value
+          val cache = graft.correct.SharedWindowCache.forModel(m)
+          it.map { case (file, id, text) =>
+            (file, id, Corrector.correctLine(text, m, cache))
+          }
+        }.toDF("file", "line_id", "text")
+        PageXml.savePageXmlDir(spark, srcDir, outDir, corrected)
+        println(s"corrected ${lines.count()} page lines -> $outDir")
+      } else {
+        val in = (a.get("input-file") match {
+          case Some(f) => Sources.loadPairsFromFile(spark, f)
+          case None => Sources.loadPairsFromDir(spark, a("directory"),
+            a("input-suffix")) // process.py:168-169
+        }).as[(String, String)]
+        val out = in.mapPartitions { it =>
+          val m = bc.value
+          val cache = graft.correct.SharedWindowCache.forModel(m)
+          it.map { case (id, line) =>
+            (id, Corrector.correctLine(line, m, cache))
+          }
+        }.toDF("line_id", "text")
+        a.get("output-file") match {
+          case Some(f) =>
+            CliArgs.writeSingleTsv(out.orderBy($"line_id"), f)
+            println(s"corrected ${in.count()} lines -> $f")
+          case None => // process.py:178-181: one file per line id
+            Sources.savePairsToDir(out, a("directory"), a("output-suffix"))
+            println(s"corrected ${in.count()} lines -> ${a("directory")}/*.${a("output-suffix")}")
         }
-      }.toDF("line_id", "text")
-      a.get("output-file") match {
-        case Some(f) =>
-          CliArgs.writeSingleTsv(out.orderBy($"line_id"), f)
-          println(s"corrected ${in.count()} lines -> $f")
-        case None => // process.py:178-181: one file per line id
-          Sources.savePairsToDir(out, a("directory"), a("output-suffix"))
-          println(s"corrected ${in.count()} lines -> ${a("directory")}/*.${a("output-suffix")}")
       }
     } finally if (owned) spark.stop()
   }

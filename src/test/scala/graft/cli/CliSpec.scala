@@ -61,6 +61,24 @@ class CliSpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(s"$ioDir/l1.cor.txt")) == "ich nicht weiß")
     assert(Files.readString(Paths.get(s"$ioDir/l2.cor.txt")) == "nicht zu bringen")
 
+    // PAGE-XML workspace mode (--page-xml-dir/--page-xml-out): every
+    // TextLine corrected, TextEquivs rewritten in the output copies
+    val pxSrc = Files.createDirectory(Paths.get(s"$dir/pages")).toString
+    val ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+    Files.writeString(Paths.get(s"$pxSrc/p1.xml"),
+      s"""<?xml version="1.0"?><PcGts xmlns="$ns"><Page><TextRegion id="r0">
+         |<TextLine id="l1"><Word id="w0"><TextEquiv><Unicode>ih</Unicode></TextEquiv></Word>
+         |<Word id="w1"><TextEquiv><Unicode>niht</Unicode></TextEquiv></Word>
+         |<Word id="w2"><TextEquiv><Unicode>weiß</Unicode></TextEquiv></Word></TextLine>
+         |</TextRegion></Page></PcGts>""".stripMargin)
+    val pxOut = s"$dir/pages-out"
+    Process.main(Array("-M", modelFile, "--page-xml-dir", pxSrc,
+      "--page-xml-out", pxOut, "-Q", "4"))
+    val pxBack = graft.sources.PageXml
+      .loadPageXmlDir(spark, pxOut).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(pxBack("l1") == "ich nicht weiß", pxBack)
+
     // evaluate: gt TSV + captured stdout
     val gtTsv = s"$dir/gt.tsv"
     Files.writeString(Paths.get(gtTsv),
