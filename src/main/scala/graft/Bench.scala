@@ -70,7 +70,7 @@ object Bench {
     // identical runs swing up to 5x in multi-minute bursts, so each
     // query runs SPARK_GRAFT_REPS times (default 3) and reports the
     // min — one burst can no longer masquerade as a regression.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = math.max(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt, 1)
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // q_correct_docs runs ONCE: its dominant cost is the one-time

@@ -184,15 +184,20 @@ object Process {
         val outDir = a.getOrElse("page-xml-out", srcDir + "-corrected")
         val lines = PageXml.loadPageXmlDir(spark, srcDir)
           .as[(String, String, String)]
+        // persist: the corrections feed BOTH the write-back join and
+        // the count — without it each consumer re-parses and
+        // re-corrects every page file
         val corrected = lines.mapPartitions { it =>
           val m = bc.value
           val cache = graft.correct.SharedWindowCache.forModel(m)
           it.map { case (file, id, text) =>
             (file, id, Corrector.correctLine(text, m, cache))
           }
-        }.toDF("file", "line_id", "text")
-        PageXml.savePageXmlDir(spark, srcDir, outDir, corrected)
-        println(s"corrected ${lines.count()} page lines -> $outDir")
+        }.toDF("file", "line_id", "text").persist()
+        try {
+          PageXml.savePageXmlDir(spark, srcDir, outDir, corrected)
+          println(s"corrected ${corrected.count()} page lines -> $outDir")
+        } finally corrected.unpersist(false)
       } else {
         val in = (a.get("input-file") match {
           case Some(f) => Sources.loadPairsFromFile(spark, f)

@@ -26,6 +26,16 @@ case class CharNgrams(child: Expression, minN: Int, maxN: Int)
     extends UnaryExpression {
   require(minN >= 1 && maxN >= minN, "need 1 <= minN <= maxN")
 
+  // reject non-string inputs at ANALYSIS time (a BIGINT column would
+  // otherwise die mid-job with a ClassCastException in nullSafeEval)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams expects a STRING argument, got ${child.dataType}")
+  }
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =

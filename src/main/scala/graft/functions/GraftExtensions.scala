@@ -40,11 +40,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
       (args: Seq[Expression]) => {
         require(args.length == 3, "char_ngrams expects (text, minN, maxN)")
-        def asInt(e: Expression) = e.eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"char_ngrams n-bounds must be integer literals, got $other")
+        def asInt(e: Expression) = {
+          // foldable check FIRST: eval(null) on a non-literal (e.g. a
+          // column reference) throws an opaque UnsupportedOperation
+          // instead of this message
+          require(e.foldable,
+            s"char_ngrams n-bounds must be integer literals, got $e")
+          e.eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"char_ngrams n-bounds must be integer literals, got $other")
+          }
         }
         CharNgrams(args.head, asInt(args(1)), asInt(args(2)))
       }))

@@ -45,7 +45,9 @@ object Queries {
   }
   def releaseCaches(): Unit = {
     val it = persistedCaches.iterator()
-    while (it.hasNext) { it.next().unpersist(false); it.remove() }
+    // blocking: the bench protocol times the NEXT rep immediately after
+    // this call — async eviction would overlap its measured window
+    while (it.hasNext) { it.next().unpersist(blocking = true); it.remove() }
   }
 
   /** Per-sfDir cache of the model trained on the perturbed documents

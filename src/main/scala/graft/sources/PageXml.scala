@@ -148,7 +148,15 @@ object PageXml {
       }
       .foreachPartition { (it: Iterator[(String, String)]) =>
         it.foreach { case (file, xml) =>
-          val name = file.substring(file.lastIndexOf('/') + 1)
+          // input_file_name() returns a percent-encoded URI
+          // ("seite%201.xml" for "seite 1.xml") — decode via URI so
+          // the output keeps the ORIGINAL basename (METS fileGrp
+          // entries reference pages by filename; URLDecoder would
+          // additionally corrupt '+' to space)
+          val path =
+            try new java.net.URI(file).getPath
+            catch { case _: java.net.URISyntaxException => file }
+          val name = path.substring(path.lastIndexOf('/') + 1)
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(out, name), xml)
         }

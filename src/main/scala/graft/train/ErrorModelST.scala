@@ -39,13 +39,21 @@ object ErrorModelST {
   /** select_ngrams (:42-54): ALL unigrams + most frequent higher-order
     * n-grams up to `num` total. Ties broken by (count desc, gram asc) —
     * the reference's tie order is incidental dict insertion order;
-    * ours is deterministic (documented divergence). */
+    * ours is deterministic (documented divergence).
+    *
+    * "Unigram" = ONE CODE POINT, not one Java char: Python's len() and
+    * Spark's length() both count code points, so an astral character
+    * (surrogate pair in Java) is a unigram to the reference and to the
+    * distributed topNgramCounts ordering — a Java `_.length <= 1` test
+    * would silently misclassify it and clamp the higher-gram quota. */
   def selectNgrams(counter: Map[String, Long], num: Int): Seq[String] = {
-    val unigrams = counter.keys.filter(_.length <= 1).toSeq.sorted
+    val unigrams = counter.keys
+      .filter(g => g.codePointCount(0, g.length) <= 1).toSeq.sorted
     if (unigrams.length > num)
       throw new IllegalArgumentException(
         "Number of unigrams exceeds the number of allowed n-grams.")
-    val higher = counter.toSeq.filter(_._1.length > 1)
+    val higher = counter.toSeq
+      .filter(p => p._1.codePointCount(0, p._1.length) > 1)
       .sortBy { case (g, c) => (-c, g) }
       .take(num - unigrams.length).map(_._1)
     unigrams ++ higher

@@ -45,6 +45,20 @@ class PageXmlSpec extends AnyFunSuite {
     assert(PageXml.linesOf(xml) == Seq(("solo", "ganze zeile")))
   }
 
+  test("A9 write-back preserves original basenames with spaces (URI decode)") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("pagexml-sp").toString
+    val out = Files.createTempDirectory("pagexml-sp-out").toString
+    Files.writeString(Paths.get(s"$src/seite 1.xml"),
+      page(Seq("l1" -> Seq("wort"))))
+    val loaded = PageXml.loadPageXmlDir(spark, src)
+    val corr = loaded.selectExpr("file", "line_id", "'korrigiert' AS text")
+    PageXml.savePageXmlDir(spark, src, out, corr)
+    assert(Files.exists(Paths.get(s"$out/seite 1.xml")),
+      "output must keep the decoded basename, not the percent-encoded URI form")
+    assert(!Files.exists(Paths.get(s"$out/seite%201.xml")))
+  }
+
   test("A9 round trip: corrections written back, reread gives corrected text") {
     import spark.implicits._
     val src = Files.createTempDirectory("pagexml-src").toString
