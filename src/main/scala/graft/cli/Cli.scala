@@ -26,11 +26,19 @@ object CliArgs {
     var i = 0
     while (i < args.length) {
       val k0 = args(i)
+      if (k0 == "-" || k0 == "--")
+        throw new IllegalArgumentException(s"bare '$k0' is not a flag")
       if (isFlagToken(k0)) {
-        // --key=value form
+        // --key=value and -k=value forms: resolve the alias on the
+        // pre-'=' part (a single-dash '='-bearing token that resolves to
+        // no known alias is an error, not a silently-ignored bogus key)
         val eq = k0.indexOf('=')
-        if (k0.startsWith("--") && eq > 0) {
-          val k = aliases.getOrElse(k0.substring(0, eq), k0.substring(2, eq))
+        if (eq > 0) {
+          val raw = k0.substring(0, eq)
+          val k =
+            if (raw.startsWith("--")) aliases.getOrElse(raw, raw.substring(2))
+            else aliases.getOrElse(raw,
+              throw new IllegalArgumentException(s"unknown flag: $raw"))
           m(k) = k0.substring(eq + 1); i += 1
         } else {
           val k = aliases.getOrElse(k0, k0.stripPrefix("--"))

@@ -80,22 +80,33 @@ object Queries {
       .orderBy($"token")
   }
 
-  /** C2 faithful: full tokenize+classify+normalize lexicon counts. */
-  def qLexiconCounts(s: SparkSession, dir: String): DataFrame = {
+  /** The aggregated lexicon-count dict (no presentation sort) — shared
+    * by qLexiconCounts and qLexiconWeights. */
+  private def lexiconCountsRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docsDf(s, dir).select($"text").as[String]
       .flatMap(LexiconBuilder.lineEmissions)
       .toDF("category", "token", "freq")
       .groupBy($"category", $"token").agg(sum($"freq").as("freq"))
-      .orderBy($"category", $"token")
+  }
+
+  /** C2 faithful: full tokenize+classify+normalize lexicon counts. */
+  def qLexiconCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lexiconCountsRaw(s, dir).orderBy($"category", $"token")
   }
 
   /** C3: -ln relative frequency weights over the words dict, with the
     * reference pruning rule (abs<=3 && rel<2e-6; total BEFORE pruning —
-    * lib/helper.py:117-136). */
+    * lib/helper.py:117-136). The AGGREGATED words dict (vocabulary-sized,
+    * not corpus-sized) is persisted so the corpus tokenize+agg runs
+    * ONCE: both consumers — the `total` scalar and the output
+    * projection — read the cache. */
   def qLexiconWeights(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = qLexiconCounts(s, dir).where($"category" === Category.Words)
+    val words = registerCache(
+      lexiconCountsRaw(s, dir).where($"category" === Category.Words)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val total = words.agg(sum($"freq")).as[Long].collect()(0)
     words.select($"token",
       round(-log($"freq" / lit(total.toDouble)), 6).as("weight"))

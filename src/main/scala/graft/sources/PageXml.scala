@@ -1,46 +1,72 @@
 package graft.sources
 
+import graft.align.SequenceMatcher
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.w3c.dom.{Document, Element}
 import java.io.{ByteArrayInputStream, StringWriter}
-import java.nio.charset.StandardCharsets
 import javax.xml.parsers.DocumentBuilderFactory
-import javax.xml.transform.TransformerFactory
+import javax.xml.transform.{OutputKeys, TransformerFactory}
 import javax.xml.transform.dom.DOMSource
 import javax.xml.transform.stream.StreamResult
 
-/** A9: PAGE-XML line source/sink (the OCR-D wrapper's data model,
-  * wrapper/decode.py:162-173 `_line_to_tokens` + :281-311
-  * `page_update_higher_textequiv_levels`).
+/** A9: PAGE-XML source/sink (the OCR-D wrapper's data model,
+  * wrapper/decode.py:162-173 `_line_to_tokens` + :279-341
+  * `page_update_higher_textequiv_levels` / `_line_update_from_path`).
   *
   * Read: one row per TextLine — `(file, line_id, text)` where text is
   * the line's Word elements' FIRST TextEquiv/Unicode values joined
   * with spaces (exactly `' '.join(_line_to_tokens(line))`); a line
   * without words falls back to its own TextEquiv (decode.py warns and
   * skips — we surface the line-level text so the caller can still
-  * correct it), else empty.
+  * correct it), else empty. Files are read as BINARY and parsed from
+  * raw bytes, so the XML parser honors each file's declared encoding;
+  * an unparsable file is logged and skipped (the reference wrapper
+  * warns and continues), never failing the whole job.
   *
-  * Write-back: set each corrected TextLine's first TextEquiv/Unicode
-  * to the corrected string and DROP its Word children's TextEquivs'
-  * granularity conflict by removing Word elements' TextEquiv texts —
-  * the line-level analogue of update_higher_textequiv_levels (the
-  * reference rewrites word-level equivs from the best path and then
-  * folds them upward; our span table corrects whole lines).
+  * Write-back: WORD-granular, like the reference. The corrected line
+  * string is distributed across the line's Word elements via the
+  * difflib alignment (each corrected token goes to the original word
+  * its aligned midpoint falls in; merged-away words are removed —
+  * decode.py:319-331 rebuilds the Word list from the best path the
+  * same way), then TextEquivs fold upward word → line → region per
+  * `page_update_higher_textequiv_levels('word')` (decode.py:279-316):
+  * line text = ' '.join(word equivs), region text = '\n'.join(line
+  * equivs). Word-less lines keep their (corrected) line equiv instead
+  * of being clobbered to '' — the one divergence from the reference
+  * fold, which assumes every line has words.
   *
-  * Scale shape: files parse ON EXECUTORS (wholetext read keyed by
-  * input_file_name — one task per file, no driver XML work); the
-  * write-back groups corrections per file (one shuffle on file path)
-  * and each task rewrites only its own files. */
+  * Scale shape: files parse ON EXECUTORS (binaryFile read — one task
+  * per file, no driver XML work); the write-back groups corrections
+  * per file (one shuffle on file path) and each task rewrites only its
+  * own files through the Hadoop FileSystem API resolved from the
+  * output URI — file:/, hdfs://, s3a:// alike — so per-file output
+  * lands on SHARED storage on a real cluster, not executor-local
+  * disks. */
 object PageXml {
 
-  private def parse(xml: String): Document = {
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def parse(xml: Array[Byte]): Document = {
     val f = DocumentBuilderFactory.newInstance()
     f.setNamespaceAware(true)
     // harden against XXE — corpus XML is untrusted at scale
     f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    f.newDocumentBuilder()
-      .parse(new ByteArrayInputStream(xml.getBytes(StandardCharsets.UTF_8)))
+    // parse from raw bytes: the parser reads the BOM / <?xml encoding?>
+    // declaration itself (a wholetext UTF-8 decode would mojibake
+    // Latin-1 pages before the parser ever saw the declaration)
+    f.newDocumentBuilder().parse(new ByteArrayInputStream(xml))
   }
+
+  /** Parse, or None with a warning — a corrupt page file must not fail
+    * a million-file job (the reference wrapper warns and skips too). */
+  private def parseOrSkip(file: String, xml: Array[Byte]): Option[Document] =
+    try Some(parse(xml))
+    catch {
+      case e: Exception =>
+        log.warn(s"skipping unparsable PAGE-XML file $file: ${e.getMessage}")
+        None
+    }
 
   private def children(e: Element, local: String): Seq[Element] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Element]
@@ -61,62 +87,155 @@ object PageXml {
       .flatMap(te => children(te, "Unicode").headOption)
       .map(_.getTextContent)
 
-  /** Extract (line_id, text) pairs from one PAGE-XML document string. */
-  def linesOf(xml: String): Seq[(String, String)] = {
-    val doc = parse(xml)
+  /** Replace ALL of `e`'s TextEquiv children with one TextEquiv/Unicode
+    * holding `text` (the reference's `set_TextEquiv([one])`). */
+  private def setEquivText(doc: Document, e: Element, text: String): Unit = {
+    children(e, "TextEquiv").foreach(e.removeChild)
+    val ns = Option(doc.getDocumentElement.getNamespaceURI).orNull
+    val te = doc.createElementNS(ns, "TextEquiv")
+    val uni = doc.createElementNS(ns, "Unicode")
+    uni.setTextContent(text)
+    te.appendChild(uni)
+    e.appendChild(te)
+  }
+
+  private def linesIn(doc: Document): Seq[Element] = {
     val nodes = doc.getElementsByTagNameNS("*", "TextLine")
-    (0 until nodes.getLength).map { i =>
-      val line = nodes.item(i).asInstanceOf[Element]
-      val words = children(line, "Word")
-      val tokens = words.flatMap(firstEquivText) // decode.py:168-170
+    (0 until nodes.getLength).map(nodes.item(_).asInstanceOf[Element])
+  }
+
+  /** Extract (line_id, text) pairs from one parsed PAGE-XML document. */
+  private def linesOf(doc: Document): Seq[(String, String)] =
+    linesIn(doc).map { line =>
+      val tokens = children(line, "Word").flatMap(firstEquivText) // decode.py:168-170
       val text =
         if (tokens.nonEmpty) tokens.mkString(" ")
         else firstEquivText(line).getOrElse("")
       (line.getAttribute("id"), text)
     }
-  }
+
+  /** String-input convenience (tests / single-doc callers). */
+  def linesOf(xml: String): Seq[(String, String)] =
+    linesOf(parse(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   /** Streaming-friendly read: every `*.xml` under `dir`, one row per
-    * TextLine: (file, line_id, text). */
+    * TextLine: (file, line_id, text). Binary read + executor-side
+    * parse; unparsable files are logged and skipped. */
   def loadPageXmlDir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.option("wholetext", "true").text(s"$dir/*.xml")
-      .select(org.apache.spark.sql.functions.input_file_name().as("file"),
-        $"value")
-      .as[(String, String)]
+    spark.read.format("binaryFile").load(s"$dir/*.xml")
+      .select($"path", $"content")
+      .as[(String, Array[Byte])]
       .flatMap { case (file, xml) =>
-        linesOf(xml).map { case (id, text) => (file, id, text) }
+        parseOrSkip(file, xml).toSeq.flatMap(linesOf)
+          .map { case (id, text) => (file, id, text) }
       }
       .toDF("file", "line_id", "text")
   }
 
-  /** Apply per-line corrections back into a PAGE-XML document string:
-    * corrected lines get their TextEquiv/Unicode replaced (created if
-    * absent) and their Words' stale TextEquivs removed. */
-  def applyCorrections(xml: String, corrections: Map[String, String]): String = {
-    val doc = parse(xml)
-    val nodes = doc.getElementsByTagNameNS("*", "TextLine")
-    val ns = Option(doc.getDocumentElement.getNamespaceURI).orNull
-    (0 until nodes.getLength).foreach { i =>
-      val line = nodes.item(i).asInstanceOf[Element]
-      corrections.get(line.getAttribute("id")).foreach { corrected =>
-        // drop stale word-level equivs (overwritten from the best path
-        // in the reference; line-granular here)
-        children(line, "Word").foreach { w =>
-          children(w, "TextEquiv").foreach(w.removeChild)
-        }
-        val te = children(line, "TextEquiv").headOption.getOrElse {
-          val e = doc.createElementNS(ns, "TextEquiv")
-          line.appendChild(e); e
-        }
-        val uni = children(te, "Unicode").headOption.getOrElse {
-          val e = doc.createElementNS(ns, "Unicode")
-          te.appendChild(e); e
-        }
-        uni.setTextContent(corrected)
+  /** Distribute a corrected line across the original word tokens: split
+    * `corrected` into its own tokens, align corrected↔original at the
+    * code-point level (the same difflib matcher the error model
+    * trains with), and assign each corrected token to the original
+    * word index its midpoint maps back into. Returns one (possibly
+    * empty) piece per original token; the non-empty pieces joined with
+    * ' ' reconstruct `corrected` exactly, so the word→line fold is
+    * byte-identical to the lattice output. */
+  def distributeWords(origTokens: Seq[String], corrected: String): Seq[String] = {
+    val orig = origTokens.mkString(" ")
+    val a = graft.align.Aligner.cps(corrected) // corrected side
+    val b = graft.align.Aligner.cps(orig)      // original side
+    // wordOf(origCpIdx): which token index covers this position
+    // (separator spaces belong to the preceding token)
+    val wordOf = new Array[Int](math.max(b.length, 1))
+    var w = 0; var pos = 0
+    origTokens.foreach { t =>
+      val len = t.codePointCount(0, t.length)
+      var k = 0
+      while (k <= len && pos < b.length) { // token cps + its trailing space
+        wordOf(pos) = w; pos += 1; k += 1
+      }
+      w += 1
+    }
+    while (pos < b.length) { wordOf(pos) = math.max(w - 1, 0); pos += 1 }
+    // monotone corrected→original index map from the matcher opcodes
+    val ops = new SequenceMatcher(a, b).opcodes
+    def mapToOrig(ci: Int): Int = {
+      ops.find { case (_, i1, i2, _, _) => i1 <= ci && ci < i2 } match {
+        case Some(("equal", i1, _, j1, _)) => j1 + (ci - i1)
+        case Some((_, i1, _, j1, j2)) => math.min(j1 + (ci - i1), math.max(j2 - 1, j1))
+        case None => math.max(b.length - 1, 0)
       }
     }
+    val pieces = Array.fill(origTokens.length)(List.empty[String])
+    if (origTokens.nonEmpty && b.nonEmpty) {
+      // corrected tokens with their cp start offsets
+      var cs = 0
+      corrected.split(" ").foreach { ct =>
+        val len = ct.codePointCount(0, ct.length)
+        if (ct.nonEmpty) {
+          val mid = cs + (len - 1) / 2
+          val wi = wordOf(math.min(mapToOrig(mid), b.length - 1))
+          pieces(wi) = ct :: pieces(wi)
+        }
+        cs += len + 1 // the split-away space
+      }
+    }
+    pieces.map(_.reverse.mkString(" ")).toSeq
+  }
+
+  /** Apply per-line corrections into a parsed PAGE-XML document:
+    * word-granular rewrite + upward fold (see object Scaladoc). */
+  private def applyCorrections(doc: Document,
+      corrections: Map[String, String]): Unit = {
+    linesIn(doc).foreach { line =>
+      corrections.get(line.getAttribute("id")).foreach { corrected =>
+        val words = children(line, "Word")
+        val tokens = words.map(w => firstEquivText(w).getOrElse(""))
+        if (words.nonEmpty) {
+          // distribute the corrected string across the original words;
+          // a word whose every token merged away is REMOVED (the
+          // reference rebuilds the Word list from the path the same
+          // way, decode.py:319-331)
+          val pieces = distributeWords(tokens, corrected)
+          words.zip(pieces).foreach { case (wEl, piece) =>
+            if (piece.isEmpty) line.removeChild(wEl)
+            else setEquivText(doc, wEl, piece)
+          }
+        } else setEquivText(doc, line, corrected) // word-less line
+      }
+    }
+    // page-wide upward fold (decode.py:279-316, level='word'):
+    // line = ' '.join(words), region = '\n'.join(lines). Word-less
+    // lines keep their existing equiv (documented divergence).
+    val regions = doc.getElementsByTagNameNS("*", "TextRegion")
+    (0 until regions.getLength).map(regions.item(_).asInstanceOf[Element])
+      .foreach { region =>
+        val lines = children(region, "TextLine")
+        lines.foreach { line =>
+          val words = children(line, "Word")
+          if (words.nonEmpty)
+            setEquivText(doc, line,
+              words.map(w => firstEquivText(w).getOrElse("")).mkString(" "))
+        }
+        if (lines.nonEmpty)
+          setEquivText(doc, region,
+            lines.map(l => firstEquivText(l).getOrElse("")).mkString("\n"))
+      }
+  }
+
+  /** String-in/string-out form (tests / single-doc callers). */
+  def applyCorrections(xml: String, corrections: Map[String, String]): String = {
+    val doc = parse(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    applyCorrections(doc, corrections)
+    serialize(doc)
+  }
+
+  private def serialize(doc: Document): String = {
     val tf = TransformerFactory.newInstance().newTransformer()
+    // the output is always UTF-8 regardless of the input's declared
+    // encoding — keep the declaration honest
+    tf.setOutputProperty(OutputKeys.ENCODING, "UTF-8")
     val sw = new StringWriter()
     tf.transform(new DOMSource(doc), new StreamResult(sw))
     sw.toString
@@ -125,40 +244,57 @@ object PageXml {
   /** Distributed write-back: join per-line corrections (file, line_id,
     * text) to their source files and rewrite each file once under
     * `outDir` (same basename). One shuffle on the file path; each task
-    * parses + rewrites only its own files. */
+    * parses + rewrites only its own files, writing through the Hadoop
+    * FileSystem of the resolved output URI (shared storage on a real
+    * cluster). Unparsable inputs and null-text corrections pass
+    * through/are dropped with a warning instead of failing the job. */
   def savePageXmlDir(spark: SparkSession, srcDir: String, outDir: String,
       corrections: DataFrame): Unit = {
     import spark.implicits._
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val confSer = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    outPath.getFileSystem(confSer.value).mkdirs(outPath) // driver-side
     val out = outDir
     val byFile = corrections.select("file", "line_id", "text")
       .as[(String, String, String)]
       .groupByKey(_._1)
       .mapGroups { (file, it) =>
-        (file, it.map(r => r._2 -> r._3).toMap)
+        (file, it.collect { case (_, id, text) if text != null => id -> text }
+          .toMap)
       }
-    val src = spark.read.option("wholetext", "true").text(s"$srcDir/*.xml")
-      .select(org.apache.spark.sql.functions.input_file_name().as("file"),
-        $"value").as[(String, String)]
-    src.joinWith(byFile, src("file") === byFile("_1"), "left")
+    val src = spark.read.format("binaryFile").load(s"$srcDir/*.xml")
+      .select($"path", $"content").as[(String, Array[Byte])]
+    src.joinWith(byFile, src("path") === byFile("_1"), "left")
       .map { case ((file, xml), corr) =>
-        val fixed = Option(corr).map(c => applyCorrections(xml, c._2))
-          .getOrElse(xml)
+        val fixed = Option(corr) match {
+          case None => xml // no corrections: copy through byte-identical
+          case Some((_, cmap)) => parseOrSkip(file, xml) match {
+            case Some(doc) =>
+              applyCorrections(doc, cmap)
+              serialize(doc).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case None => xml // unparsable: copy through untouched
+          }
+        }
         (file, fixed)
       }
-      .foreachPartition { (it: Iterator[(String, String)]) =>
+      .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
+        val base = new org.apache.hadoop.fs.Path(out)
+        val fs = base.getFileSystem(confSer.value)
+        // the contract is exactly one file per entry — no .crc
+        // sidecars from the checksummed local FS (no-op on HDFS/S3A)
+        fs.setWriteChecksum(false)
         it.foreach { case (file, xml) =>
-          // input_file_name() returns a percent-encoded URI
-          // ("seite%201.xml" for "seite 1.xml") — decode via URI so
-          // the output keeps the ORIGINAL basename (METS fileGrp
-          // entries reference pages by filename; URLDecoder would
-          // additionally corrupt '+' to space)
+          // the source path is a percent-encoded URI ("seite%201.xml"
+          // for "seite 1.xml") — decode via URI so the output keeps the
+          // ORIGINAL basename (METS fileGrp entries reference pages by
+          // filename; URLDecoder would additionally corrupt '+')
           val path =
             try new java.net.URI(file).getPath
             catch { case _: java.net.URISyntaxException => file }
           val name = path.substring(path.lastIndexOf('/') + 1)
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(out, name), xml)
+          val os = fs.create(new org.apache.hadoop.fs.Path(base, name), true)
+          try os.write(xml) finally os.close()
         }
       }
   }

@@ -58,21 +58,35 @@ object Sources {
   /** A5 save_pairs_to_dir (lib/helper.py:104-114): one `<id>.<suffix>`
     * file per pair, file content = the line (the inverse of
     * loadPairsFromDir). Executors write their partitions in parallel —
-    * the driver never collects the pairs; the writes here hit the
-    * local filesystem, and on a cluster the identical loop targets a
-    * shared filesystem (the java.nio calls swap for the Hadoop
-    * FileSystem API — one create per pair either way). */
+    * the driver never collects the pairs — through the Hadoop
+    * FileSystem API resolved from the output URI (file:/, hdfs://,
+    * s3a:// alike), so per-file output lands on SHARED storage on a
+    * real cluster, not each executor's local disk. Null ids are
+    * dropped (no filename to write), null text coalesces to empty —
+    * a single bad row must not NPE a million-file job. */
   def savePairsToDir(df: DataFrame, dir: String, suffix: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    Files.createDirectories(Paths.get(dir))
+    val confSer = new SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(confSer.value).mkdirs(dirPath) // driver-side
     val (d, sfx) = (dir, suffix) // serializable captures, not `this`
     val cols = df.columns
     df.select(col(cols(0)).cast("string").as("id"),
-        col(cols(1)).cast("string").as("text"))
+        coalesce(col(cols(1)).cast("string"), lit("")).as("text"))
+      .where(col("id").isNotNull)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val base = new org.apache.hadoop.fs.Path(d)
+        val fs = base.getFileSystem(confSer.value)
+        // the contract is exactly one file per entry — no .crc
+        // sidecars from the checksummed local FS (no-op on HDFS/S3A)
+        fs.setWriteChecksum(false)
         it.foreach { r =>
-          Files.writeString(Paths.get(d, s"${r.getString(0)}.$sfx"),
-            r.getString(1))
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(base, s"${r.getString(0)}.$sfx"),
+            true)
+          try out.write(r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
         }
       }
   }

@@ -39,6 +39,9 @@ object StreamingCorrection {
     * content; ProcessingTimeTimeout lets long-idle keys expire so state
     * is bounded by the active window of the stream, not its full
     * history (at 100 TB/day the timeout IS the retention policy). */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   def dedupStream(docs: Dataset[Doc], stateTimeoutMs: Long = 0L): Dataset[Doc] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -50,10 +53,16 @@ object StreamingCorrection {
       if (stateTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     docs
-      .groupByKey(d => java.util.Base64.getEncoder.encodeToString(
-        java.security.MessageDigest.getInstance("MD5").digest(
+      .groupByKey { d =>
+        // one digest per executor thread (ThreadLocal, reset per row) —
+        // no per-row MessageDigest.getInstance provider lookup in the
+        // hot keying function
+        val md = md5Local.get()
+        md.reset()
+        java.util.Base64.getEncoder.encodeToString(md.digest(
           d.spans.map(s => s.kind + "\u0000" + s.text + "\u0000").mkString
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
       .flatMapGroupsWithState[String, Doc](OutputMode.Append, timeoutConf) {
         (_: String, rows: Iterator[Doc], state: GroupState[String]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }

@@ -27,6 +27,16 @@ class CliSpec extends AnyFunSuite {
     // boolean flag followed by another flag still parses as boolean
     assert(CliArgs.parse(Array("--verbose", "-Q", "2"), aliases)
       == Map("verbose" -> "true", "processes" -> "2"))
+    // single-dash -k=value resolves the alias on the pre-'=' part
+    assert(CliArgs.parse(Array("-P=2.5"), aliases)("pruning-weight") == "2.5")
+    // unknown single-dash '='-bearing and bare-dash tokens are errors,
+    // not silently-dropped bogus keys
+    intercept[IllegalArgumentException] {
+      CliArgs.parse(Array("-z=1"), aliases)
+    }
+    intercept[IllegalArgumentException] {
+      CliArgs.parse(Array("-"), aliases)
+    }
   }
 
   test("train -> process -> evaluate round trip on fixture pairs") {

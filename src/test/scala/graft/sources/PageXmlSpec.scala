@@ -59,6 +59,65 @@ class PageXmlSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$out/seite%201.xml")))
   }
 
+  test("A9 word-level write-back: word equivs rewritten, line+region folds match") {
+    val xml = page(Seq("l1" -> Seq("ih", "niht"), "l2" -> Seq("zu", "bringen")))
+    val out = PageXml.applyCorrections(xml, Map("l1" -> "ich nicht"))
+    // the WORD equivs themselves carry the corrected pieces
+    assert(out.contains("<Unicode>ich</Unicode>"))
+    assert(out.contains("<Unicode>nicht</Unicode>"))
+    // word -> line fold
+    assert(PageXml.linesOf(out) == Seq(("l1", "ich nicht"), ("l2", "zu bringen")))
+    // line -> region fold (page_update_higher_textequiv_levels)
+    assert(out.contains("ich nicht\nzu bringen"))
+  }
+
+  test("A9 word-level write-back: merged-away words are removed") {
+    val xml = page(Seq("l1" -> Seq("zu", "bringen")))
+    val out = PageXml.applyCorrections(xml, Map("l1" -> "zubringen"))
+    assert(PageXml.linesOf(out) == Seq(("l1", "zubringen")))
+    // the first word merged into the second: one Word element remains
+    assert("<Word ".r.findAllIn(out).length == 1)
+  }
+
+  test("distributeWords: split, merge, and identity cases") {
+    assert(PageXml.distributeWords(Seq("ihniht"), "ih niht") == Seq("ih niht"))
+    assert(PageXml.distributeWords(Seq("zu", "bringen"), "zubringen")
+      == Seq("", "zubringen"))
+    assert(PageXml.distributeWords(Seq("a", "b", "c"), "a b c")
+      == Seq("a", "b", "c"))
+    assert(PageXml.distributeWords(Seq("wort"), "") == Seq(""))
+  }
+
+  test("A9 read honors the file's declared (non-UTF-8) encoding") {
+    val dir = Files.createTempDirectory("pagexml-enc").toString
+    val xml =
+      s"""<?xml version="1.0" encoding="ISO-8859-1"?>
+         |<PcGts xmlns="$NS"><Page><TextRegion id="r0">
+         |<TextLine id="l1"><Word id="w0"><TextEquiv><Unicode>für</Unicode></TextEquiv></Word></TextLine>
+         |</TextRegion></Page></PcGts>""".stripMargin
+    Files.write(Paths.get(s"$dir/latin.xml"),
+      xml.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val rows = PageXml.loadPageXmlDir(spark, dir).collect()
+    assert(rows.length == 1 && rows(0).getString(2) == "für")
+  }
+
+  test("A9 unparsable files are skipped on read, copied through on write") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("pagexml-bad").toString
+    val out = Files.createTempDirectory("pagexml-bad-out").toString
+    Files.writeString(Paths.get(s"$src/good.xml"),
+      page(Seq("l1" -> Seq("wort"))))
+    Files.writeString(Paths.get(s"$src/broken.xml"), "this is <not> xml <")
+    val loaded = PageXml.loadPageXmlDir(spark, src)
+    assert(loaded.count() == 1) // broken file skipped, job did not fail
+    val corr = loaded.selectExpr("file", "line_id", "'neu' AS text")
+    PageXml.savePageXmlDir(spark, src, out, corr)
+    // broken input copied through byte-identical; good one corrected
+    assert(Files.readString(Paths.get(s"$out/broken.xml")) == "this is <not> xml <")
+    val back = PageXml.loadPageXmlDir(spark, out).collect()
+    assert(back.length == 1 && back(0).getString(2) == "neu")
+  }
+
   test("A9 round trip: corrections written back, reread gives corrected text") {
     import spark.implicits._
     val src = Files.createTempDirectory("pagexml-src").toString

@@ -64,6 +64,26 @@ class SourcesSpec extends AnyFunSuite {
       Seq(("lineA", "erste zeile"), ("lineB", "zweite zeile")))
   }
 
+  test("A5 dir form: null text coalesces to empty, null id dropped") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("src-a5null")
+    val df = Seq(("a", null: String), (null: String, "verloren"), ("b", "da"))
+      .toDF("line_id", "text")
+    Sources.savePairsToDir(df, dir.toString, "txt")
+    assert(Files.readString(dir.resolve("a.txt")) == "")
+    assert(Files.readString(dir.resolve("b.txt")) == "da")
+    val listed = Files.list(dir)
+    try assert(listed.count() == 2) finally listed.close()
+  }
+
+  test("A5 dir form writes through a file: URI (Hadoop FileSystem path)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("src-a5uri")
+    val df = Seq(("u1", "inhalt")).toDF("line_id", "text")
+    Sources.savePairsToDir(df, dir.toUri.toString, "txt")
+    assert(Files.readString(dir.resolve("u1.txt")) == "inhalt")
+  }
+
   test("A7: frequency list NBSP <-> box round trip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("src-a7")
