@@ -139,7 +139,11 @@ object Train {
         unweightedLexicon = a.contains("unweighted-lexicon"))
       a.get("error-model-file").foreach(f =>
         ModelIO.saveFst(model.errorFst.get, f))
-      a.get("lexicon-file").foreach(f => ModelIO.saveFst(model.windowFst, f))
+      // -l saves the RAW lexicon FST (like the reference's lexicon
+      // artifact, scripts/train.py:153) — the window closure is built
+      // at LOAD time so Process's -W is a real runtime knob
+      a.get("lexicon-file").foreach(f =>
+        ModelIO.saveFst(model.lexiconFst.getOrElse(model.windowFst), f))
       a.get("model-file").foreach(f => ModelIO.saveModel(model, f))
       println(s"trained on ${pairs.count()} pairs" +
         s"; error arcs=${model.errorFst.map(_.numArcs).getOrElse(0)}" +
@@ -152,9 +156,9 @@ object Train {
   *
   * Flags: -M/--model-file (combined; or -l + -e FST files);
   * -i/--input-file keyed TSV in; -o/--output-file keyed TSV out;
-  * -P/--pruning-weight; -J/--rejection-weight (-W accepted for
-  * reference-CLI compatibility but inert: the window closure is baked
-  * into the lexicon FST at train time, CompiledModel.windowFstFrom);
+  * -P/--pruning-weight; -J/--rejection-weight; -W/--words-per-window
+  * (a real LOAD-time knob like scripts/process.py:102-104 — the window
+  * closure is rebuilt from the model's raw lexicon FST);
   * -Q/--processes (Spark local parallelism — the fork-pool analogue). */
 object Process {
   def main(args: Array[String]): Unit = {
@@ -173,16 +177,21 @@ object Process {
     try {
       val base = a.get("model-file") match {
         case Some(f) => ModelIO.loadModel(f)
-        case None => CompiledModel(
-          errorFst = a.get("error-model-file").map(ModelIO.loadFst)
-            .map(CompiledModel.normalizeError),
-          windowFst = ModelIO.loadFst(a("lexicon-file")))
+        case None =>
+          // -l is the RAW lexicon FST; build the window closure here at
+          // load with -W (process.py:102-104, latticegen.py:198-212)
+          val lex = ModelIO.loadFst(a("lexicon-file"))
+          CompiledModel.fromFsts(lex,
+            a.get("error-model-file").map(ModelIO.loadFst),
+            wordsPerWindow = a.getOrElse("words-per-window", "3").toInt)
       }
-      val model = base.copy(
-        pruningWeight = a.get("pruning-weight").map(_.toDouble)
-          .getOrElse(base.pruningWeight),
-        rejectionWeight = a.get("rejection-weight").map(_.toDouble)
-          .getOrElse(base.rejectionWeight))
+      val model = a.get("words-per-window").map(_.toInt)
+        .foldLeft(base)((m, w) => m.withWordsPerWindow(w))
+        .copy(
+          pruningWeight = a.get("pruning-weight").map(_.toDouble)
+            .getOrElse(base.pruningWeight),
+          rejectionWeight = a.get("rejection-weight").map(_.toDouble)
+            .getOrElse(base.rejectionWeight))
       val bc = CorrectionJob.broadcastModel(spark, model)
       if (a.contains("page-xml-dir")) {
         // PAGE-XML workspace mode (the OCR-D wrapper's dataflow,

@@ -26,7 +26,25 @@ final case class CompiledModel(
     pruningWeight: Double = 5.0,
     rejectionWeight: Double = 1.5,
     maxWindowSize: Int = 2,
-    wordsPerWindow: Int = 3) extends Serializable
+    wordsPerWindow: Int = 3,
+    // the RAW lexicon FST (pre-window-closure), kept in the artifact so
+    // words_per_window is a LOAD-time knob like the reference's -W
+    // (scripts/process.py:102-104 applies it at model load; the window
+    // closure is rebuilt from this via windowFstFrom)
+    lexiconFst: Option[Wfst] = None) extends Serializable {
+
+  /** Rebuild the window closure for a different words_per_window —
+    * the reference's runtime -W (lib/latticegen.py:127-139 built at
+    * init). Falls back to the baked window FST when the artifact
+    * predates lexiconFst. */
+  def withWordsPerWindow(w: Int): CompiledModel =
+    lexiconFst match {
+      case Some(lex) if w != wordsPerWindow =>
+        copy(windowFst = CompiledModel.windowFstFrom(lex, w),
+          wordsPerWindow = w)
+      case _ => this
+    }
+}
 
 object CompiledModel {
   /** One-time inference normalization of an error FST: collapse its
@@ -72,7 +90,8 @@ object CompiledModel {
       preservePunct)
     CompiledModel(Some(normalizeError(errorFst)),
       windowFstFrom(lexFst, wordsPerWindow),
-      pruningWeight, rejectionWeight, maxWindowSize = 2, wordsPerWindow)
+      pruningWeight, rejectionWeight, maxWindowSize = 2, wordsPerWindow,
+      lexiconFst = Some(lexFst.arcSort))
   }
 
   def fromFsts(lexiconFst: Wfst, errorFst: Option[Wfst],
@@ -80,7 +99,8 @@ object CompiledModel {
       rejectionWeight: Double = 1.5): CompiledModel =
     CompiledModel(errorFst.map(normalizeError),
       windowFstFrom(lexiconFst, wordsPerWindow),
-      pruningWeight, rejectionWeight, 2, wordsPerWindow)
+      pruningWeight, rejectionWeight, 2, wordsPerWindow,
+      lexiconFst = Some(lexiconFst.arcSort))
 
   /** Distributed training: the counting passes (lexicon C2, confusion
     * D1) run as Spark hash aggregations over the full pair table; only
@@ -139,7 +159,8 @@ object CompiledModel {
     }
     CompiledModel(Some(normalizeError(errorFst)),
       windowFstFrom(lexFst, wordsPerWindow),
-      pruningWeight, rejectionWeight, 2, wordsPerWindow)
+      pruningWeight, rejectionWeight, 2, wordsPerWindow,
+      lexiconFst = Some(lexFst.arcSort))
   }
 }
 

@@ -8,14 +8,20 @@ import scala.collection.mutable
   * dependency we do not reimplement bit-for-bit. This trait mirrors its
   * interface shape (stateful traceback threaded line→line, G7) with a
   * deterministic char n-gram default; the FST-only path remains the
-  * correctness invariant (SURVEY.md §5). Beam clustering (dist 5) of
-  * keraslm is not reproduced (documented divergence). */
+  * correctness invariant (SURVEY.md §5). */
 trait LmScorer extends Serializable {
   /** Opaque LM state (the traceback analogue). */
   type State
   def initialState: State
   /** Advance over `text`, returning (new state, -ln P(text | state)). */
   def advance(state: State, text: String): (State, Double)
+  /** Distance between two LM states, used for BEAM CLUSTERING
+    * (wrapper/decode.py:23-27,134-141: hypotheses whose state vectors
+    * lie within `beam_clustering_dist` form a cluster and only the
+    * best survives — keraslm measures LSTM hidden-state vectors;
+    * scorers with opaque states default to identity clustering). */
+  def stateDistance(a: State, b: State): Double =
+    if (a == b) 0.0 else Double.PositiveInfinity
 }
 
 /** Add-one-smoothed character n-gram LM trained on GT lines. State is
@@ -24,6 +30,13 @@ final class CharNgramLm(val n: Int, counts: Map[String, Long],
     contextCounts: Map[String, Long], vocabSize: Int) extends LmScorer {
   type State = String
   def initialState: String = ""
+
+  /** Context strings are the state: edit distance (two beam histories
+    * whose recent contexts differ by <= dist merge — contexts here are
+    * <= n-1 chars, so meaningful distances are 1-2, vs keraslm's 5
+    * over high-dimensional LSTM vectors). */
+  override def stateDistance(a: String, b: String): Double =
+    graft.align.Distance.levenshtein(a, b).toDouble
 
   def advance(state: String, text: String): (String, Double) = {
     var ctx = state
@@ -69,7 +82,8 @@ object LmDecoder {
     * beam-pruned per lattice node. Returns (corrected line, final LM
     * state of the best hypothesis). */
   def decode(lattice: Lattice, lm: LmScorer)(startState: lm.State,
-      lmWeight: Double = 0.5, beamWidth: Int = 100): (Option[String], lm.State) = {
+      lmWeight: Double = 0.5, beamWidth: Int = 100,
+      beamClusteringDist: Double = 0.0): (Option[String], lm.State) = {
     val n = lattice.nTokens
     if (n == 0) return (None, startState)
     val beams = Array.fill(n + 1)(mutable.ArrayBuffer.empty[Hyp])
@@ -93,7 +107,25 @@ object LmDecoder {
         }
       }
       i += 1
-      // beam prune
+      // beam clustering (decode.py:134-141 semantics): sort by cost,
+      // drop any hypothesis whose LM state lies within
+      // beamClusteringDist of an already-kept (cheaper) hypothesis —
+      // near-identical histories collapse to their best representative
+      // BEFORE width pruning, so the beam spends its slots on
+      // genuinely distinct histories. 0 disables (the reference's
+      // BEAM_CLUSTERING_ENABLE=False path).
+      if (beamClusteringDist > 0 && beams(i).length > 1) {
+        val sorted = beams(i).sortBy(_.cost)
+        val kept = mutable.ArrayBuffer.empty[Hyp]
+        sorted.foreach { h =>
+          val clustered = kept.exists(k =>
+            lm.stateDistance(k.state.asInstanceOf[lm.State],
+              h.state.asInstanceOf[lm.State]) <= beamClusteringDist)
+          if (!clustered) kept += h
+        }
+        beams(i).clear(); beams(i) ++= kept
+      }
+      // beam width prune
       if (beams(i).length > beamWidth) {
         val kept = beams(i).sortBy(_.cost).take(beamWidth)
         beams(i).clear(); beams(i) ++= kept
@@ -110,11 +142,12 @@ object LmDecoder {
   /** Correct one line with LM rescoring. */
   def correctLineLm(line: String, model: CompiledModel, lm: LmScorer)(
       state: lm.State, lmWeight: Double = 0.5, beamWidth: Int = 100,
-      cache: AltCache = null): (String, lm.State) = {
+      cache: AltCache = null, beamClusteringDist: Double = 0.0): (String, lm.State) = {
     if (graft.tokenize.Tokenizer.splitInputString(line).isEmpty)
       return (line, state)
     val lattice = Corrector.latticeFromString(line, model, cache)
-    val (out, ns) = decode(lattice, lm)(state, lmWeight, beamWidth)
+    val (out, ns) = decode(lattice, lm)(state, lmWeight, beamWidth,
+      beamClusteringDist)
     (out.getOrElse(line), ns)
   }
 
@@ -122,12 +155,13 @@ object LmDecoder {
     * state; media spans pass through (and do not advance the LM). */
   def correctDocLm(doc: graft.pipeline.Doc, model: CompiledModel,
       lm: LmScorer, lmWeight: Double = 0.5, beamWidth: Int = 100,
-      cache: AltCache = null): graft.pipeline.Doc = {
+      cache: AltCache = null,
+      beamClusteringDist: Double = 0.0): graft.pipeline.Doc = {
     var state = lm.initialState
     val spans = doc.spans.map { s =>
       if (s.kind == "text") {
         val (out, ns) = correctLineLm(s.text, model, lm)(state,
-          lmWeight, beamWidth, cache)
+          lmWeight, beamWidth, cache, beamClusteringDist)
         state = ns
         s.copy(text = out)
       } else s

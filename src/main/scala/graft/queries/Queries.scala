@@ -50,6 +50,38 @@ object Queries {
     while (it.hasNext) { it.next().unpersist(blocking = true); it.remove() }
   }
 
+  /** Observed-metrics plumbing: queries that bound coverage (the
+    * jaccard df-cut) surface what they dropped via `df.observe` —
+    * CollectMetrics rides the existing scan, no extra job — and a
+    * QueryExecutionListener records the last values per metric name.
+    * No silent caps: a pipeline can assert dropped counts instead of
+    * trusting "covered everything". */
+  private val observed =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Any]]()
+  def lastObserved(name: String): Option[Map[String, Any]] =
+    Option(observed.get(name))
+  private val obsSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private def ensureObserveListener(s: SparkSession): Unit =
+    obsSessions.synchronized {
+      if (obsSessions.get(s) == null) {
+        obsSessions.put(s, java.lang.Boolean.TRUE)
+        s.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit =
+              qe.observedMetrics.foreach { case (k, row) =>
+                observed.put(k,
+                  row.getValuesMap[Any](row.schema.fieldNames.toSeq))
+              }
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
+      }
+    }
+
   /** Per-sfDir cache of the model trained on the perturbed documents
     * table (driver-side compile from distributed aggregates). */
   private val modelCache =
@@ -396,9 +428,14 @@ object Queries {
     // df-cut + pair generation WITHOUT a self-join: docs-per-shingle sets
     // are bounded (<=20), explode the <=C(20,2) pairs per shingle, count
     // pair co-occurrences. Shingles with df>20 are dropped (standard
-    // near-dup df-cut; at scale, surface the dropped count via an
-    // accumulator on this filter if coverage accounting is needed).
+    // near-dup df-cut); the drop is SURFACED, not silent — the observe
+    // below records how many shingles the cut removed (lastObserved
+    // "jaccard_dfcut"), riding the cached aggregate with no extra job.
+    ensureObserveListener(s)
     val pairs = docSets
+      .observe("jaccard_dfcut",
+        count(when(size($"docs") > 20, true)).as("dropped_shingles"),
+        count(lit(1)).as("total_shingles"))
       .where(size($"docs").between(2, 20))
       .select(explode(expr(
         """flatten(transform(array_sort(docs), (a, i) ->
@@ -454,34 +491,59 @@ object Queries {
     val edges = registerCache(
       exEdges.union(jacEdges).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // symmetric closure so propagation flows both ways
-    val sym = edges.union(edges.select($"b".as("a"), $"a".as("b")))
-    // per-round label table: eager localCheckpoint TRUNCATES the plan
-    // lineage each round (without it the round-N plan embeds every
-    // previous round — planning cost doubles per iteration and the
-    // final plan is thousands of nodes). Blocks live on executors
-    // (MEMORY_AND_DISK); superseded rounds are dropped by the context
-    // cleaner once unreferenced.
-    var lab = docsDf(s, dir)
-      .select($"doc_id".as("id"), $"doc_id".as("lab"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0) {
-      iter += 1
-      require(iter <= 50, "label propagation failed to converge")
-      val prop = sym.join(lab, sym("b") === lab("id"))
-        .groupBy(sym("a").as("pid")).agg(min($"lab").as("nlab"))
-      val next = lab.join(prop, lab("id") === prop("pid"), "left")
-        .select($"id", $"lab".as("old"),
-          least($"lab", coalesce($"nlab", $"lab")).as("lab2"))
-        .localCheckpoint(true) // eager: one job per round
-      changed = next.where($"lab2" < $"old").count() // bounded: 1 scalar
-      lab = next.select($"id", $"lab2".as("lab"))
-    }
+    val ids = docsDf(s, dir).select($"doc_id".as("id"))
+    val (lab, _) = connectedComponents(ids, edges)
     lab.select($"id".as("doc_id"), $"lab".as("canon"),
         ($"lab" === $"id").as("keep"))
       .orderBy($"doc_id")
+  }
+
+  /** Connected components over `ids` ("id") and undirected `edges`
+    * ("a","b"): min-label propagation ACCELERATED BY POINTER DOUBLING —
+    * each round takes the min over (own label, neighbors' labels), then
+    * composes the label table with itself (lab ∘ lab), so label
+    * information travels a distance that roughly doubles per round.
+    * Verified-duplicate components are near-cliques (1-2 rounds); an
+    * adversarial pairwise CHAIN converges in O(log diameter) rounds
+    * instead of O(diameter) — the same guarantee as the classic
+    * large-star/small-star contraction, with one join + one agg + one
+    * self-join per round. The 64-round cap corresponds to a diameter
+    * beyond 2^64 — structurally unreachable, so a data-dependent shape
+    * can no longer turn into a hard query failure.
+    *
+    * Per round: eager localCheckpoint TRUNCATES the plan lineage
+    * (without it the round-N plan embeds every previous round —
+    * planning cost doubles per iteration); ONE collected scalar for the
+    * convergence check. Returns (label table ("id","lab"), rounds). */
+  def connectedComponents(ids: DataFrame,
+      edges: DataFrame): (DataFrame, Int) = {
+    val s = ids.sparkSession
+    import s.implicits._
+    // symmetric closure so propagation flows both ways
+    val sym = edges.union(edges.select($"b".as("a"), $"a".as("b")))
+    var lab = ids.select($"id", $"id".as("lab")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= 64, "label propagation failed to converge")
+      val prop = sym.join(lab, sym("b") === lab("id"))
+        .groupBy(sym("a").as("pid")).agg(min($"lab").as("nlab"))
+      val half = lab.join(prop, lab("id") === prop("pid"), "left")
+        .select($"id", $"lab".as("old"),
+          least($"lab", coalesce($"nlab", $"lab")).as("lab1"))
+        .localCheckpoint(true) // eager: LogicalRDD, no self-join ambiguity
+      // pointer doubling: lab2(id) = min(lab1(id), lab1(lab1(id)))
+      val next = half
+        .join(half.select($"id".as("pid2"), $"lab1".as("plab")),
+          half("lab1") === $"pid2", "left")
+        .select($"id", $"old",
+          least($"lab1", coalesce($"plab", $"lab1")).as("lab2"))
+        .localCheckpoint(true)
+      changed = next.where($"lab2" < $"old").count() // bounded: 1 scalar
+      lab = next.select($"id", $"lab2".as("lab"))
+    }
+    (lab, rounds)
   }
 
   /** SimHash (rows-only; native Catalyst expression — stays inside

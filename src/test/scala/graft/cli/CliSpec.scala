@@ -39,6 +39,35 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("-W is a real load-time knob: window width changes multi-word splits") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-cli-w").toString
+    // GT side teaches the split: "ihniht" -> "ich nicht" needs the
+    // error model to insert a space AND the window FST to accept a
+    // TWO-word output — the latter is exactly what -W gates
+    val trainTsv = s"$dir/train.tsv"
+    Files.writeString(Paths.get(trainTsv),
+      Seq("ihniht\tich nicht", "ih niht\tich nicht", "nicht\tnicht",
+        "ich\tich").map(identity).mkString("\n"))
+    val modelFile = s"$dir/model.bin"
+    Train.main(Array("-t", trainTsv, "-M", modelFile, "-Q", "4"))
+
+    val inTsv = s"$dir/in.tsv"
+    Files.writeString(Paths.get(inTsv), "l1\tihniht")
+    def processWith(w: Option[Int]): String = {
+      val outTsv = s"$dir/out${w.getOrElse(0)}.tsv"
+      Process.main(Array("-M", modelFile, "-i", inTsv, "-o", outTsv,
+        "-Q", "4") ++ w.toSeq.flatMap(x => Seq("-W", x.toString)))
+      Files.readString(Paths.get(outTsv)).trim.split("\t")(1)
+    }
+    val wide = processWith(Some(3))
+    val narrow = processWith(Some(1))
+    assert(wide == "ich nicht", s"wide-window split failed: $wide")
+    // -W 1: the window FST accepts single words only — the two-word
+    // split is impossible, so the same input corrects differently
+    assert(narrow != wide, s"-W had no effect (both: $narrow)")
+  }
+
   test("train -> process -> evaluate round trip on fixture pairs") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = Files.createTempDirectory("graft-cli").toString

@@ -26,6 +26,34 @@ class LmSpec extends AnyFunSuite {
     }
   }
 
+  test("beam clustering collapses near-identical histories (hand-computed)") {
+    // LM trained on "ax c": continuing " c" is cheap after "x", dear
+    // after "b". FST weights make "ab" the cheaper hypothesis AT the
+    // intermediate node, but "ax c" the globally best path.
+    val clm = CharNgramLm.train(Seq("ax c"), n = 2)
+    val lat = Lattice(2, Map(
+      (0, 1) -> Seq(Alt("ab", 0.0), Alt("ax", 0.9)),
+      (1, 2) -> Seq(Alt("c", 0.0))))
+    // hand-computed per-hypothesis costs (add-one smoothing, V=4):
+    //   node 1: "ab" = 0.0 + [-ln(2/5) - ln(1/5)] = 2.525
+    //           "ax" = 0.9 + [-ln(2/5) - ln(2/5)] = 1.833 + 0.9 = 2.733
+    //   node 2: "ab c" = 2.525 + [-ln(1/4) - ln(2/5)] = 4.827
+    //           "ax c" = 2.733 + [-ln(2/5) - ln(2/5)] = 4.566  <- best
+    val (noCluster, _) =
+      LmDecoder.decode(lat, clm)(clm.initialState, lmWeight = 1.0)
+    assert(noCluster.contains("ax c"))
+    // states "b" and "x" are edit-distance 1 apart: clustering at
+    // dist 1 keeps only the node-1-cheaper "ab" history, CHANGING the
+    // survivor set — the globally-best "ax c" path is pruned
+    val (clustered, _) = LmDecoder.decode(lat, clm)(clm.initialState,
+      lmWeight = 1.0, beamClusteringDist = 1.0)
+    assert(clustered.contains("ab c"))
+    // dist 0 disables clustering (BEAM_CLUSTERING_ENABLE=False path)
+    val (disabled, _) = LmDecoder.decode(lat, clm)(clm.initialState,
+      lmWeight = 1.0, beamClusteringDist = 0.0)
+    assert(disabled == noCluster)
+  }
+
   test("LM rescoring still corrects known confusions") {
     val (out, _) = LmDecoder.correctLineLm("ih niht weiß", model, lm)(
       lm.initialState, lmWeight = 0.5, beamWidth = 100)

@@ -165,6 +165,32 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: a 128-node path converges in O(log n) rounds") {
+    import spark.implicits._
+    val n = 128
+    val ids = (0L until n.toLong).toDF("id")
+    // adversarial chain: 0-1-2-...-127 (diameter n-1 — the shape that
+    // forces rounds = diameter under plain min-label propagation)
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (lab, rounds) = Queries.connectedComponents(ids, edges)
+    val labs = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs.values.forall(_ == 0L), "every node must reach the chain min")
+    // pointer doubling: information travels ~2x+1 hops per round ->
+    // log-bounded; plain propagation would need 127 rounds
+    assert(rounds <= math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 4,
+      s"rounds=$rounds not logarithmic for diameter ${n - 1}")
+  }
+
+  test("jaccard df-cut drop count is observed, not silent") {
+    Queries.qNgramJaccard(spark, sf).collect()
+    Queries.releaseCaches()
+    val m = Queries.lastObserved("jaccard_dfcut")
+    assert(m.isDefined, "observe metric jaccard_dfcut not recorded")
+    val total = m.get("total_shingles").asInstanceOf[Long]
+    val dropped = m.get("dropped_shingles").asInstanceOf[Long]
+    assert(total > 0 && dropped >= 0 && dropped <= total)
+  }
+
   test("plan shape: dedup-embed pair-dedup is a narrow HashAggregate, not a wide sort") {
     val plan = Queries.qDedupEmbed(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("SortAggregate"),
