@@ -186,9 +186,30 @@ object Oracles {
       |FROM embeddings, q
       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** Mirrors the one-Lloyd-iteration refinement: the per-dimension
+    * fixed-point mean (sum of round(x*1e6) BIGINTs, ONE final divide)
+    * is aggregation-order-independent, so both engines compute
+    * bit-identical refined centroids. sum(BIGINT) is HUGEINT in DuckDB
+    * — cast to DOUBLE before dividing (magnitudes ~1e10 << 2^53, the
+    * cast is exact). */
   val qAnnIvf: String =
-    """WITH cents AS (
+    """WITH cents0 AS (
       |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 16
+      |), assign0 AS (
+      |  SELECT e.vec_id, cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), cv)
+      |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(cv, cv))) DESC,
+      |    cent_id ASC) AS rn
+      |  FROM embeddings e CROSS JOIN cents0
+      |), cells0 AS (SELECT vec_id, cent_id AS cell FROM assign0 WHERE rn = 1),
+      |dims AS (
+      |  SELECT c.cell, t.i AS pos,
+      |    CAST(sum(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+      |      / (count(*) * 1e6) AS cx
+      |  FROM cells0 c JOIN embeddings e ON e.vec_id = c.vec_id, range(1, 65) t(i)
+      |  GROUP BY c.cell, t.i
+      |), cents AS (
+      |  SELECT cell AS cent_id, list(cx ORDER BY pos) AS cv FROM dims GROUP BY cell
       |), assign AS (
       |  SELECT e.vec_id, cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |    list_dot_product(CAST(e.embedding AS DOUBLE[]), cv)

@@ -631,40 +631,73 @@ object Queries {
   }
 
   /** IVF-flat ANN (the other classic scale path besides LSH): a coarse
-    * quantizer of 16 sampled centroids (vec_id < 16 — deterministic, so
-    * the DuckDB oracle reproduces it; production would Lloyd-refine
-    * them, which only moves the centroids, not the dataflow), each
-    * vector assigned to its max-cosine cell, the query probing the 2
-    * nearest cells and ranking exact cosine INSIDE those cells only.
+    * quantizer of 16 seed centroids (vec_id < 16 — deterministic)
+    * REFINED BY ONE LLOYD ITERATION (assign every vector to its
+    * max-cosine seed, recompute each cell's mean), each vector assigned
+    * to its max-cosine refined cell, the query probing the 2 nearest
+    * cells and ranking exact cosine INSIDE those cells only.
+    *
+    * The Lloyd mean uses FIXED-POINT arithmetic — per-dimension
+    * sum(round(x*1e6) as BIGINT) / (n*1e6) — so the centroid values
+    * are aggregation-order-independent and the DuckDB oracle
+    * reproduces them bit-for-bit (a raw double sum would drift with
+    * partition order). The mean runs as a posexplode + partial+final
+    * HashAggregate on (cell, dim) — one shuffle of 64·n skinny rows.
     *
     * Scale shape: the centroid table is FIXED-size (16 rows) — the one
     * broadcast hint here that is justified at any corpus size; the
-    * assign step is a broadcast nested-loop + partial max_by (the 16x
+    * assign steps are broadcast nested-loops + partial max_by (the 16x
     * row inflation collapses map-side before the shuffle); at 100 TB
-    * cell assignments would be a stored bucketed column, and the probe
-    * scan prunes ~7/8 of the table before any full-precision cosine. */
+    * the quantizer would train on a SAMPLE and cell assignments would
+    * be a stored bucketed column; the probe scan prunes ~7/8 of the
+    * table before any full-precision cosine. */
+  /** Centroid-vs-vector cosine over columns (embedding, cv). */
+  private[queries] val ivfCos: String =
+    """aggregate(zip_with(embedding, cv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+      | / (sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |    * sqrt(aggregate(cv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+
+  /** The 16 deterministic seed centroids (vec_id < 16). */
+  private[queries] def ivfSeedCentroids(e: DataFrame): DataFrame =
+    e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+
+  /** Cell assignment vs a centroid table: max cosine, ties -> smallest
+    * cent_id. NARROW agg (vec_id, cell) — no first(embedding), which
+    * would drag the arrays through a wide aggregate. */
+  private[queries] def ivfAssign(e: DataFrame, centTable: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centTable))
+      .select(col("vec_id"), col("cent_id"), expr(ivfCos).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"))
+
+  /** One Lloyd iteration: exact per-dimension fixed-point means of the
+    * seed assignment (every seed is its own member, so no empty
+    * cells). Cosine is scale-invariant in the centroid, so the raw
+    * mean behaves like the spherical-k-means recentering. */
+  private[queries] def ivfRefine(e: DataFrame, cents0: DataFrame): DataFrame =
+    ivfAssign(e, cents0).join(e, "vec_id")
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(expr("CAST(round(CAST(col AS DOUBLE) * 1e6) AS BIGINT)"))
+        / (count(lit(1)) * lit(1e6))).as("cx"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)")
+        .as("cv"))
+      .select(col("cell").as("cent_id"), col("cv"))
+
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = s.read.parquet(s"$dir/embeddings.parquet")
-    val cents = e.where($"vec_id" < 16)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
-    val cos =
-      """aggregate(zip_with(embedding, cv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
-        | / (sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-        |    * sqrt(aggregate(cv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
-    // cell assignment: max cosine centroid, ties -> smallest cent_id.
-    // NARROW agg (vec_id, cell) — no first(embedding), which would drag
-    // the arrays through a wide aggregate; embeddings re-attach by key
-    // AFTER the probe prune, on the ~1/8 surviving rows only
-    val assign = e.crossJoin(broadcast(cents))
-      .select($"vec_id", $"cent_id", expr(cos).as("ccos"))
-      .groupBy($"vec_id")
-      .agg(max_by($"cent_id", struct($"ccos", -$"cent_id")).as("cell"))
-    // probe cells: the 2 centroids nearest the query vector (16-row
-    // driver-side collect — bounded by the fixed centroid count)
+    val cos = ivfCos
+    val cents = ivfRefine(e, ivfSeedCentroids(e))
+    val assign = ivfAssign(e, cents)
+    // probe cells: the 2 refined centroids nearest the query vector
+    // (16-row driver-side collect — bounded by the fixed centroid count)
     val probes = e.where($"vec_id" === 0).select($"embedding".as("qv"))
       .crossJoin(broadcast(cents))
-      .select($"cent_id", expr(cos.replace("embedding", "qv")).as("qcos"))
+      .select($"cent_id",
+        expr(cos.replace("embedding", "qv")).as("qcos"))
       .orderBy(desc("qcos"), asc("cent_id")).limit(2)
       .as[(Long, Double)].collect().map(_._1)
     val q = e.where($"vec_id" === 0).select($"embedding".as("qv"))
