@@ -66,7 +66,10 @@ object SparkEntry {
     "q_quality" -> (Queries.qQuality(_, _)),
     "q_token_count_regex" -> (Queries.qTokenCountRegex(_, _)),
     "q_lang_id" -> (Queries.qLangId(_, _)),
-    "q_fingerprint" -> (Queries.qFingerprint(_, _)))
+    "q_fingerprint" -> (Queries.qFingerprint(_, _)),
+    "q_gopher_quality" -> (Queries.qGopherQuality(_, _)),
+    "q_pii_redact" -> (Queries.qPiiRedact(_, _)),
+    "q_decontaminate" -> (Queries.qDecontaminate(_, _)))
 
   /** DuckDB oracle SQL for the SQL-expressible queries; FST/alignment
     * queries are omitted (rows-only check) and validated by the golden

@@ -479,6 +479,73 @@ object Oracles {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c
       |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
+  /** Gopher-style repetition metrics: per-doc word 2-/3-gram duplicate
+    * fractions + top-bigram coverage (mirrors Queries.qGopherQuality;
+    * the window-count max is the mode of the bigram multiset). */
+  val qGopherQuality: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents
+      |), b AS (SELECT doc_id, w FROM base WHERE len(w) >= 3),
+      |g2 AS (
+      |  SELECT doc_id, array_to_string(list_slice(w,
+      |    CAST(i AS INTEGER), CAST(i AS INTEGER) + 1), ' ') AS g
+      |  FROM b, LATERAL (SELECT unnest(range(1, len(w))) AS i) u
+      |), g3 AS (
+      |  SELECT doc_id, array_to_string(list_slice(w,
+      |    CAST(i AS INTEGER), CAST(i AS INTEGER) + 2), ' ') AS g
+      |  FROM b, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) u
+      |), a2 AS (
+      |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n2,
+      |    count(DISTINCT g) AS d2, max(c) AS topc
+      |  FROM (SELECT doc_id, g,
+      |          count(*) OVER (PARTITION BY doc_id, g) AS c FROM g2) x
+      |  GROUP BY doc_id
+      |), a3 AS (
+      |  SELECT doc_id, count(*) AS n3, count(DISTINCT g) AS d3
+      |  FROM g3 GROUP BY doc_id
+      |)
+      |SELECT a2.doc_id, n2 AS n_2grams,
+      |  round(1 - CAST(d2 AS DOUBLE) / n2, 6) AS frac_dup_2gram,
+      |  round(CAST(topc AS DOUBLE) / n2, 6) AS top_2gram_frac,
+      |  round(1 - CAST(d3 AS DOUBLE) / n3, 6) AS frac_dup_3gram
+      |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
+      |ORDER BY a2.doc_id""".stripMargin
+
+  /** PII redaction oracle: the augment expression and the three regex
+    * patterns are shared VERBATIM with the Spark side (Queries.PiiAugmentSql
+    * / EmailRe / PhoneRe / Ipv4Re — written backslash-free so Java regex
+    * and RE2 read them identically); DuckDB needs the explicit 'g' flag
+    * where Spark's regexp_replace is global by default. */
+  val qPiiRedact: String =
+    s"""WITH a AS (SELECT doc_id, ${Queries.PiiAugmentSql} AS aug FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '${Queries.EmailRe}')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '${Queries.PhoneRe}')) AS INTEGER) AS n_phones,
+       |  CAST(len(regexp_extract_all(aug, '${Queries.Ipv4Re}')) AS INTEGER) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '${Queries.EmailRe}', '[EMAIL]', 'g'),
+       |    '${Queries.Ipv4Re}', '[IP]', 'g'),
+       |    '${Queries.PhoneRe}', '[PHONE]', 'g') AS redacted
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  /** Decontamination oracle: distinct word-4-gram overlap between each
+    * training doc (doc_id >= 10) and the fixed benchmark slice
+    * (doc_id < 10), gram keys as the same 60-bit md5 prefix. */
+  val qDecontaminate: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(('0x' || substr(md5(array_to_string(list_slice(string_split(text, ' '),
+      |      CAST(i AS INTEGER), CAST(i AS INTEGER) + 3), ' ')), 1, 15)) AS BIGINT) AS gh
+      |  FROM documents, LATERAL (SELECT unnest(range(1,
+      |    len(string_split(text, ' ')) - 2)) AS i) u
+      |  WHERE len(string_split(text, ' ')) >= 4
+      |), bench AS (SELECT DISTINCT gh FROM g WHERE doc_id < 10)
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_4grams
+      |FROM g t JOIN bench b ON t.gh = b.gh
+      |WHERE t.doc_id >= 10
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_token_counts" -> qTokenCounts,
     "q_lexicon_counts" -> qLexiconCounts,
@@ -508,5 +575,8 @@ object Oracles {
     "q_events_asof" -> qEventsAsof,
     "q_ann_ivf" -> qAnnIvf,
     "q_token_count_regex" -> qTokenCountRegex,
-    "q_fingerprint" -> qFingerprint)
+    "q_fingerprint" -> qFingerprint,
+    "q_gopher_quality" -> qGopherQuality,
+    "q_pii_redact" -> qPiiRedact,
+    "q_decontaminate" -> qDecontaminate)
 }

@@ -828,4 +828,101 @@ object Queries {
           " +", " "))).as("fp"))
       .orderBy($"doc_id")
   }
+
+  /** Gopher/MassiveText-style repetition quality signals, per document:
+    * duplicate word-bigram fraction and top-bigram coverage (plus the
+    * trigram dup fraction). Scale shape: everything is computed inside
+    * one narrow per-row projection with higher-order functions — NO
+    * doc_id-keyed shuffle of exploded grams. A per-doc mode-of-array is
+    * O(distinct * n) per row, which for real documents (n ~ 10^3 grams)
+    * stays far cheaper at 100 TB than shuffling an exploded gram table
+    * back together; the whole query is scan -> project -> sort. */
+  def qGopherQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def grams(n: Int) = // 1-based slice, same shape as the jaccard shingles
+      s"""transform(sequence(1, size(w) - ${n - 1}),
+            i -> concat_ws(' ', slice(w, i, $n)))"""
+    docsDf(s, dir)
+      .select($"doc_id",
+        expr("filter(split(text, ' '), t -> t <> '')").as("w"))
+      .where(size($"w") >= 3) // degenerate docs: no bigram/trigram stats
+      .select($"doc_id", expr(grams(2)).as("g2"), expr(grams(3)).as("g3"))
+      .select($"doc_id",
+        size($"g2").as("n_2grams"),
+        round(lit(1) - size(array_distinct($"g2")) / size($"g2"), 6)
+          .as("frac_dup_2gram"),
+        round(expr("""array_max(transform(array_distinct(g2),
+                       x -> size(filter(g2, y -> y = x))))""") / size($"g2"), 6)
+          .as("top_2gram_frac"),
+        round(lit(1) - size(array_distinct($"g3")) / size($"g3"), 6)
+          .as("frac_dup_3gram"))
+      .orderBy($"doc_id")
+  }
+
+  // PII patterns shared verbatim with the DuckDB oracle. Written with
+  // [.] instead of \. so the SAME string is valid under Java regex and
+  // RE2 with no escaping differences between the two engines.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  // deterministic PII augmentation (the synthetic corpus carries no PII;
+  // both engines append the same values so redaction is exercised
+  // genuinely). Email/phone/IP populations overlap on purpose.
+  val PiiAugmentSql: String =
+    """concat(text,
+      |  CASE WHEN doc_id % 7 = 0
+      |    THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com') ELSE '' END,
+      |  CASE WHEN doc_id % 11 = 0
+      |    THEN concat(' call 555-01', CAST(doc_id % 89 + 10 AS STRING)) ELSE '' END,
+      |  CASE WHEN doc_id % 13 = 0
+      |    THEN concat(' from 10.0.', CAST(doc_id % 256 AS STRING), '.',
+      |                CAST(doc_id * 7 % 256 AS STRING)) ELSE '' END)""".stripMargin
+
+  /** PII redaction: count + mask emails, phone numbers and IPv4
+    * addresses. Pure per-row regex work (codegen'd RegExpReplace /
+    * RegExpExtractAll) — scan -> project -> sort, no shuffle. Email
+    * masking runs FIRST so the address's digits/dots can't be half-eaten
+    * by the IP pattern. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsDf(s, dir)
+      .select($"doc_id", expr(PiiAugmentSql).as("aug"))
+      .select($"doc_id",
+        size(expr(s"regexp_extract_all(aug, '$EmailRe', 0)")).as("n_emails"),
+        size(expr(s"regexp_extract_all(aug, '$PhoneRe', 0)")).as("n_phones"),
+        size(expr(s"regexp_extract_all(aug, '$Ipv4Re', 0)")).as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace($"aug",
+          EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]")
+          .as("redacted"))
+      .orderBy($"doc_id")
+  }
+
+  /** Decontamination: flag training documents sharing any word 4-gram
+    * with a benchmark/eval set (Lee et al.-style n-gram overlap). The
+    * benchmark here is the fixed doc_id < 10 slice — FIXED-size by
+    * construction (a real eval set doesn't grow with the corpus), which
+    * is exactly the case where a broadcast hint is justified: the
+    * distinct benchmark-gram table is broadcast and the corpus side
+    * never shuffles. Gram keys are 60-bit md5 prefixes (narrow join
+    * keys, same trick as qNgramJaccard). Output: contaminated doc_id
+    * with its distinct-overlapping-gram count. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.HexPrefix64.hexPrefix64
+    def gramsOf(df: DataFrame) = df
+      .select($"doc_id", split($"text", " ").as("w"))
+      .where(size($"w") >= 4)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(w) - 3),
+             i -> concat_ws(' ', slice(w, i, 4)))""")).as("g"))
+      .select($"doc_id", hexPrefix64(md5($"g")).as("gh"))
+      .distinct()
+    val docs = docsDf(s, dir)
+    val benchGrams = gramsOf(docs.where($"doc_id" < 10))
+      .select($"gh").distinct()
+    gramsOf(docs.where($"doc_id" >= 10))
+      .join(broadcast(benchGrams), "gh") // fixed-size side: hint is safe at any SF
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_4grams"))
+      .orderBy($"doc_id")
+  }
 }

@@ -117,8 +117,13 @@ object LexiconBuilder {
   /** lexicon_to_fst (lib/lexicon.py:152-198):
     * openBracket? . words . punctuation? . closeBracket? with -ln-relfreq
     * weights; `addedWordCost` added to every word weight (:156-162);
-    * weight pushing / digit substitution remain disabled as in the
-    * reference (:174-177,186-193 FIXMEs). */
+    * digit substitution / umlaut standardization remain disabled as in
+    * the reference (:174-177,186-190 FIXMEs). The reference's
+    * `result.optimize(); result.push()` (:192-193) is realized as
+    * pushWeights + minimizeAcyclic: weights migrate to the first
+    * divergence point and shared word suffixes collapse (DAWG), which
+    * shrinks the broadcast model and the per-window compose product
+    * while preserving every accepting path's weight. */
   def lexiconToFst(lex: Lexicon, addedWordCost: Double = 0.0,
       unweighted: Boolean = false): Wfst = {
     def dict(m: Map[String, Long], extra: Double = 0.0): Map[String, Double] = {
@@ -131,5 +136,6 @@ object LexiconBuilder {
     val closeB = Wfst.fromStrings(dict(lex.closingBrackets))
     openB.ques.concat(words).concat(punct.ques).concat(closeB.ques)
       .projectOutput.rmEpsilon
+      .pushWeights.minimizeAcyclic.connect
   }
 }

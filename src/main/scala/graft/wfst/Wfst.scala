@@ -757,6 +757,125 @@ final class Wfst private (
     new Wfst(start, n, off, nIl, nOl, nWt, nDs, finState, finWt)
   }
 
+  /** Mohri weight pushing toward the initial state over the tropical
+    * semiring: reweights by the potential phi(q) = best residual cost to
+    * a final (reverseDistances), so every coaccessible state's cheapest
+    * continuation costs 0. Total accepting-path weights are preserved
+    * (phi telescopes along the path; phi(start) is folded back into the
+    * start state's out-arcs and final weight — valid only when no arc
+    * re-enters start, which holds for every graft builder; a reentrant
+    * start returns `this` unchanged). Non-coaccessible states keep
+    * their weights (connect() removes them anyway). This is the
+    * reference's `result.push()` on the compiled lexicon
+    * (lib/lexicon.py:193); it also aligns shared-suffix residuals so
+    * `minimizeAcyclic` can actually merge them. */
+  def pushWeights: Wfst = {
+    if (numStates == 0 || finState.isEmpty) return this
+    val phi = reverseDistances
+    val phiS = phi(start)
+    if (phiS == Double.PositiveInfinity) return this
+    val total = numArcs
+    var k = 0
+    while (k < total) { if (ds(k) == start) return this; k += 1 }
+    val nWt = new Array[Double](total)
+    var s = 0
+    while (s < numStates) {
+      val ps = phi(s)
+      val comp = if (s == start) phiS else 0.0
+      var a = off(s)
+      while (a < off(s + 1)) {
+        val pd = phi(ds(a))
+        nWt(a) =
+          if (ps == Double.PositiveInfinity || pd == Double.PositiveInfinity)
+            wt(a)
+          else wt(a) + pd - ps + comp
+        a += 1
+      }
+      s += 1
+    }
+    val nFinW = new Array[Double](finWt.length)
+    var f = 0
+    while (f < finState.length) {
+      val q = finState(f) // phi(q) finite: q is final
+      nFinW(f) = finWt(f) - phi(q) + (if (q == start) phiS else 0.0)
+      f += 1
+    }
+    new Wfst(start, numStates, off, il, ol, nWt, ds, finState, nFinW)
+  }
+
+  /** Suffix-sharing minimization of an acyclic machine (Revuz/DAWG,
+    * generalized to weighted transducer arcs): states are merged
+    * bottom-up (reverse topological order) when their outgoing behavior
+    * — final weight plus the multiset of (ilabel, olabel, weight-bits,
+    * destination class) — is identical. Merging states with equal
+    * weighted suffix behavior preserves the weighted relation on ANY
+    * machine; on a deterministic acceptor after `pushWeights` it reaches
+    * the canonical minimum. Cyclic machines return `this` unchanged.
+    * Exact duplicate arcs created by destination merging are collapsed.
+    * This is the reference's `result.optimize()` on the compiled lexicon
+    * (lib/lexicon.py:192) — perf-only: smaller broadcast artifact and a
+    * denser compose product. Output arcs are (ilabel, olabel)-sorted
+    * per state (arcSort invariant). */
+  def minimizeAcyclic: Wfst = {
+    val topo = topoOrderOrNull
+    if (topo == null || numStates <= 1) return this
+    val classOf = new Array[Int](numStates)
+    val sigMap = mutable.HashMap.empty[scala.collection.immutable.ArraySeq[Long], Int]
+    val repOf = new IntList
+    var i = numStates - 1
+    while (i >= 0) {
+      val s = topo(i)
+      val lo = off(s); val deg = off(s + 1) - lo
+      // signature: [finalBits, (il<<32|ol, wBits, class) per arc, sorted]
+      val sig = new Array[Long](1 + deg * 3)
+      sig(0) = java.lang.Double.doubleToLongBits(finalWeight(s))
+      val keys = new Array[(Long, Long, Long)](deg)
+      var a = 0
+      while (a < deg) {
+        keys(a) = ((il(lo + a).toLong << 32) | (ol(lo + a).toLong & 0xffffffffL),
+          java.lang.Double.doubleToLongBits(wt(lo + a)),
+          classOf(ds(lo + a)).toLong)
+        a += 1
+      }
+      java.util.Arrays.sort(keys, Ordering[(Long, Long, Long)])
+      a = 0
+      while (a < deg) {
+        sig(1 + a * 3) = keys(a)._1
+        sig(2 + a * 3) = keys(a)._2
+        sig(3 + a * 3) = keys(a)._3
+        a += 1
+      }
+      classOf(s) = sigMap.getOrElseUpdate(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(sig),
+        { repOf.add(s); repOf.n - 1 })
+      i -= 1
+    }
+    if (sigMap.size == numStates) return this // nothing merged
+    val b = new WfstBuilder(sigMap.size)
+    var c = 0
+    while (c < repOf.n) {
+      val s = repOf.a(c)
+      val fw = finalWeight(s)
+      if (fw != Double.PositiveInfinity) b.setFinal(c, fw)
+      val lo = off(s); val hi = off(s + 1)
+      var a = lo
+      while (a < hi) {
+        // skip exact duplicates (same label pair/weight, merged dest)
+        var dup = false
+        var p = lo
+        while (p < a && !dup) {
+          dup = il(p) == il(a) && ol(p) == ol(a) && wt(p) == wt(a) &&
+            classOf(ds(p)) == classOf(ds(a))
+          p += 1
+        }
+        if (!dup) b.addArc(c, il(a), ol(a), wt(a), classOf(ds(a)))
+        a += 1
+      }
+      c += 1
+    }
+    b.result(classOf(start)).arcSort
+  }
+
   /** Composition with the trivial epsilon filter: joint moves on equal
     * non-eps symbols (Sigma on the right matches any symbol, identity),
     * left-alone moves on eps-output arcs, right-alone moves on eps-input

@@ -268,4 +268,45 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(doc_id)"),
       s"expected pushed filters, got:\n$plan")
   }
+
+  test("gopher quality: fractions in [0,1], dup >= top coverage bound holds") {
+    val rows = Queries.qGopherQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dup2, top2, dup3) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(dup2 >= 0 && dup2 <= 1 && dup3 >= 0 && dup3 <= 1)
+      assert(top2 > 0 && top2 <= 1)
+      // a bigram occurring k>1 times contributes k-1 dups and k top-count:
+      // top_frac <= dup_frac + 1/n (up to the 6-decimal output rounding)
+      assert(top2 <= dup2 + 1.0 / r.getInt(1) + 1.1e-6, r.toString)
+    }
+  }
+
+  test("pii redact: counts follow the deterministic augment populations; masks applied") {
+    val rows = Queries.qPiiRedact(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (if (id % 7 == 0) 1 else 0), s"emails @$id")
+      assert(r.getInt(2) == (if (id % 11 == 0) 1 else 0), s"phones @$id")
+      assert(r.getInt(3) == (if (id % 13 == 0) 1 else 0), s"ips @$id")
+      val red = r.getString(4)
+      assert(!red.contains("@example.com") && !red.contains("555-0"))
+      if (id % 7 == 0) assert(red.contains("[EMAIL]"))
+      if (id % 11 == 0) assert(red.contains("[PHONE]"))
+      if (id % 13 == 0) assert(red.contains("[IP]"))
+    }
+  }
+
+  test("decontaminate: benchmark docs excluded; bench-gram side is broadcast") {
+    val df = Queries.qDecontaminate(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 10, "benchmark docs must not flag themselves")
+      assert(r.getLong(1) > 0)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"fixed-size benchmark gram set must broadcast — corpus side never shuffles for the join:\n$plan")
+  }
 }

@@ -140,4 +140,46 @@ class WfstSpec extends AnyFunSuite {
     val r = Wfst.acceptor("a").compose(Wfst.acceptor("b").arcSort)
     assert(r.paths().isEmpty)
   }
+
+  private def weightedLang(f: Wfst): Map[(String, String), Double] =
+    f.paths().groupMapReduce(p => (p._1, p._2))(_._3)(math.min)
+
+  test("pushWeights preserves every path weight and zeroes best residuals") {
+    val d = Map("cat" -> 1.5, "car" -> 0.25, "bat" -> 3.0, "b" -> 0.5)
+    val f = Wfst.fromStrings(d)
+    val p = f.pushWeights
+    assert(weightedLang(p).forall { case (k, w) =>
+      math.abs(w - weightedLang(f)(k)) < eps })
+    // pushed canonical form: from every coaccessible state the cheapest
+    // continuation (arc min vs final weight) costs ~0
+    val phi = p.reverseDistances
+    (0 until p.numStates).filter(s => phi(s) < Double.PositiveInfinity)
+      .foreach(s => assert(math.abs(phi(s)) < eps ||
+        (s == p.start && math.abs(phi(s) - d.values.min) < eps)))
+  }
+
+  test("minimizeAcyclic merges shared suffixes after pushing (DAWG)") {
+    // 6 words, 3 distinct weights, heavy suffix sharing: -ing/-ed pairs
+    val d = Map("walking" -> 1.0, "walked" -> 2.0, "talking" -> 1.0,
+      "talked" -> 2.0, "parking" -> 0.5, "parked" -> 2.0)
+    val f = Wfst.fromStrings(d)
+    val m = f.pushWeights.minimizeAcyclic.connect
+    assert(weightedLang(m) == weightedLang(m)) // total function sanity
+    assert(weightedLang(m).keySet == weightedLang(f).keySet)
+    assert(weightedLang(f).forall { case (k, w) =>
+      math.abs(w - weightedLang(m)(k)) < eps })
+    // the -ing (6 states incl. final) and -ed (2) suffix chains and the
+    // k-junction must be shared across all three stems
+    assert(m.numStates < f.numStates - 8,
+      s"expected DAWG sharing, got ${f.numStates} -> ${m.numStates}")
+  }
+
+  test("minimizeAcyclic is identity-safe on cyclic machines and preserves transducers") {
+    val cyc = Wfst.sigmaStar
+    assert(cyc.minimizeAcyclic eq cyc) // cycle -> untouched
+    val t = Wfst.fromMappings(Seq(("ab", "xy", 1.0), ("cb", "zy", 1.0)))
+    val m = t.pushWeights.minimizeAcyclic.connect
+    assert(weightedLang(m) == weightedLang(t)) // pair language intact
+    assert(m.numStates <= t.numStates)
+  }
 }
