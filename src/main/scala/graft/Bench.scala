@@ -104,9 +104,12 @@ object Bench {
     // own noise evidence instead of needing side runs. Reported number
     // is best-of-reps; the full rep and calibration series + spread are
     // in the JSON.
+    // bit_xor, not sum: summing 64M random xxhash64 longs overflows
+    // under ANSI mode (Spark 4 default); xor is overflow-free and the
+    // same constant CPU-bound work
     def calibrate(): Double = time {
       spark.range(0L, 32L * 2000000L, 1L, cpus.toInt)
-        .select(org.apache.spark.sql.functions.sum(
+        .select(org.apache.spark.sql.functions.bit_xor(
           org.apache.spark.sql.functions.xxhash64(
             org.apache.spark.sql.functions.col("id")))).collect()
     }._2

@@ -127,12 +127,19 @@ object ErrorModelTrainer {
     true
   }
 
-  /** compile_single_error_transducer (lib/error_simp.py:252-259). */
+  /** compile_single_error_transducer (lib/error_simp.py:252-259). The
+    * reference's `optimize()` (:258) is realized as pushWeights +
+    * minimizeAcyclic on the string-map union: fromMappings builds one
+    * chain per confusion with the weight at the final, so pushing moves
+    * each weight onto the chain's first arc and the (now 0-weight)
+    * shared suffix chains + the single final state collapse — a smaller
+    * broadcast model and a denser per-window compose product, path
+    * weights unchanged. */
   def compileSingle(counts: Map[(String, String), Long],
       preservePunct: Boolean = false): Wfst = {
     var list = preprocessConfusions(counts)
     if (preservePunct) list = list.filter(noPunctuationEdits)
-    transducerFromList(list).rmEpsilon
+    transducerFromList(list).rmEpsilon.pushWeights.minimizeAcyclic.connect
   }
 
   /** The selected combination of combine_error_transducers
