@@ -546,6 +546,17 @@ object Oracles {
       |WHERE t.doc_id >= 10
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** Stratified-sampling oracle: identical 60-bit md5 uniform and the
+    * shared per-source rate CASE — reproduces the exact sample. */
+  val qSampleStratified: String =
+    s"""SELECT doc_id, source,
+       |  round(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |        / POW(2, 60), 6) AS u
+       |FROM documents
+       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      / POW(2, 60) < (${Queries.SampleRateSql})
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_token_counts" -> qTokenCounts,
     "q_lexicon_counts" -> qLexiconCounts,
@@ -578,5 +589,6 @@ object Oracles {
     "q_fingerprint" -> qFingerprint,
     "q_gopher_quality" -> qGopherQuality,
     "q_pii_redact" -> qPiiRedact,
-    "q_decontaminate" -> qDecontaminate)
+    "q_decontaminate" -> qDecontaminate,
+    "q_sample_stratified" -> qSampleStratified)
 }

@@ -916,13 +916,45 @@ object Queries {
         """transform(sequence(1, size(w) - 3),
              i -> concat_ws(' ', slice(w, i, 4)))""")).as("g"))
       .select($"doc_id", hexPrefix64(md5($"g")).as("gh"))
-      .distinct()
     val docs = docsDf(s, dir)
     val benchGrams = gramsOf(docs.where($"doc_id" < 10))
       .select($"gh").distinct()
+    // the corpus side joins UN-deduplicated: the broadcast join filters
+    // first, so the only corpus-side shuffle (the count-distinct's
+    // partial dedup) carries just the MATCHED grams — deduplicating
+    // before the join would shuffle the full exploded gram table
     gramsOf(docs.where($"doc_id" >= 10))
       .join(broadcast(benchGrams), "gh") // fixed-size side: hint is safe at any SF
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_4grams"))
+      .groupBy($"doc_id").agg(count_distinct($"gh").as("n_shared_4grams"))
+      .orderBy($"doc_id")
+  }
+
+  // per-source sampling rates for the training-mix query, shared
+  // verbatim with the DuckDB oracle
+  val SampleRateSql: String =
+    """CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 0.9
+      |     WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
+      |     ELSE 0.1 END""".stripMargin
+
+  /** Deterministic stratified sampling for training-mix construction:
+    * keep a doc iff u(doc_id) < rate(source), where u is a 60-bit
+    * md5-derived uniform in [0,1). Scale shape: pure scan -> project ->
+    * filter, NO shuffle and no state — every executor decides each row
+    * locally, the sample is reproducible across runs/partitionings, and
+    * upsizing a stratum's rate keeps all previously-sampled rows (hash
+    * sampling is nested by construction). u = L / 2^60 with L computed
+    * identically in both engines, so the oracle reproduces the exact
+    * same sample. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.HexPrefix64.hexPrefix64
+    docsDf(s, dir)
+      .select($"doc_id", $"source",
+        (hexPrefix64(md5($"doc_id".cast("string"))) /
+          lit(math.pow(2, 60))).as("u"),
+        expr(SampleRateSql).as("rate"))
+      .where($"u" < $"rate")
+      .select($"doc_id", $"source", round($"u", 6).as("u"))
       .orderBy($"doc_id")
   }
 }

@@ -55,6 +55,14 @@ object PlanDump extends App {
     "LEFT SEMI join: quantity+shipdate predicates pushed into the lineitem scan; semi join keeps supplier rows without per-match duplication (no post-join distinct).")
   dump("q_events_window", graft.queries.Analytics.qEventsWindow(spark, sf),
     "Batch mirror of the streaming 5-minute tumbling window: window(ts) + event_type hash agg, partial+final; w_start emitted as epoch seconds (timezone-free).")
+  dump("q_gopher_quality", graft.queries.Queries.qGopherQuality(spark, sf),
+    "Repetition quality metrics computed ENTIRELY inside one per-row projection (higher-order array functions — interpreted expressions, but still a single narrow Project with no serde boundary) — scan -> project -> sort, no doc_id-keyed shuffle of exploded grams; the per-doc mode-of-array is O(distinct*n) per row, cheaper at scale than re-shuffling a gram table.")
+  dump("q_pii_redact", graft.queries.Queries.qPiiRedact(spark, sf),
+    "Per-row regex counting + masking (RegExpExtractAll / RegExpReplace inside WholeStageCodegen); scan -> project -> sort, no shuffle.")
+  dump("q_decontaminate", graft.queries.Queries.qDecontaminate(spark, sf),
+    "Benchmark n-gram overlap: the eval set is FIXED-size by construction, so its distinct-gram table is broadcast (the justified-hint case) and the corpus side joins UN-deduplicated — the broadcast join filters first, and the count-distinct's dedup shuffle carries only the MATCHED grams (deduping before the join would shuffle the full exploded gram table); gram keys are 60-bit md5 prefixes.")
+  dump("q_sample_stratified", graft.queries.Queries.qSampleStratified(spark, sf),
+    "Deterministic stratified hash sampling: u(doc_id) < rate(source) decided per row with no shuffle and no state — the only Exchange is the presentation sort. Reproducible across runs and partitionings; upsizing a stratum's rate keeps all previously-sampled rows.")
   Files.writeString(Paths.get("/root/repo/PLANS.md"),
     "# PLANS — physical plans of the headline jobs (sf0.001, local[8], AQE on)\n\n" +
     "Generated by `Test/runMain PlanDump`. Annotations state the intended\nplan shape; QueriesSpec asserts the critical properties (pruned\nReadSchema, PushedFilters, broadcast join, codegen residency).\n\n" + sb.result())

@@ -309,4 +309,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"fixed-size benchmark gram set must broadcast — corpus side never shuffles for the join:\n$plan")
   }
+
+  test("stratified sample: exact kept-set vs independent JVM recomputation; scan-only plan") {
+    def u(docId: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) / math.pow(2, 60)
+    }
+    def rate(src: String): Double = {
+      val n = src.drop(3).toInt
+      if (n < 5) 0.9 else if (n < 10) 0.5 else 0.1
+    }
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = all.filter { case (id, src) => u(id) < rate(src) }
+      .map(_._1).sorted
+    val df = Queries.qSampleStratified(spark, sf)
+    val got = df.collect().map(_.getLong(0))
+    assert(got.sameElements(expected),
+      s"sample mismatch: got ${got.length}, expected ${expected.length}")
+    // scan-only: the sampling decision is per-row local; the only
+    // exchange allowed is the presentation sort's range partitioning
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"sampling must not shuffle (only the final sort may):\n$plan")
+  }
 }
