@@ -546,6 +546,26 @@ object Oracles {
       |WHERE t.doc_id >= 10
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** Context-chunking oracle: same 64-token window / 48 stride, final
+    * short chunk kept (mirrors Queries.qChunkFixed). */
+  val qChunkFixed: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, w,
+      |    CAST(greatest(ceil((len(w) - 64) / CAST(48 AS DOUBLE)), 0) AS INTEGER) AS kmax
+      |  FROM t WHERE len(w) >= 1
+      |), c AS (
+      |  SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+      |    array_to_string(list_slice(w,
+      |      CAST(k AS INTEGER) * 48 + 1, CAST(k AS INTEGER) * 48 + 64), ' ') AS chunk_text
+      |  FROM b, LATERAL (SELECT unnest(range(0, kmax + 1)) AS k) u
+      |)
+      |SELECT doc_id, chunk_idx, chunk_text,
+      |  CAST(len(string_split(chunk_text, ' ')) AS INTEGER) AS n_tokens
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Stratified-sampling oracle: identical 60-bit md5 uniform and the
     * shared per-source rate CASE — reproduces the exact sample. */
   val qSampleStratified: String =
@@ -590,5 +610,6 @@ object Oracles {
     "q_gopher_quality" -> qGopherQuality,
     "q_pii_redact" -> qPiiRedact,
     "q_decontaminate" -> qDecontaminate,
-    "q_sample_stratified" -> qSampleStratified)
+    "q_sample_stratified" -> qSampleStratified,
+    "q_chunk_fixed" -> qChunkFixed)
 }

@@ -936,6 +936,29 @@ object Queries {
       |     WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
       |     ELSE 0.1 END""".stripMargin
 
+  /** Context-length chunking for training-sequence preparation: split
+    * each document into fixed-size token windows (64 tokens) with a
+    * 16-token overlap (stride 48) — the standard sliding-context shape.
+    * Scale: per-row explode of O(len/stride) chunks, no shuffle except
+    * the presentation sort; chunk text is emitted alongside its token
+    * count so a packer can budget without re-tokenizing. */
+  def qChunkFixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (win, stride) = (64, 48)
+    docsDf(s, dir)
+      .select($"doc_id",
+        expr("filter(split(text, ' '), t -> t <> '')").as("w"))
+      .where(size($"w") >= 1)
+      .select($"doc_id", posexplode(expr(
+        // chunk starts: 1, 1+stride, ... while start <= len (a final
+        // short chunk keeps the tail; single emission for len <= win)
+        s"""transform(sequence(0, CAST(greatest(ceil((size(w) - $win) / CAST($stride AS DOUBLE)), 0) AS INT)),
+              k -> concat_ws(' ', slice(w, k * $stride + 1, $win)))""")))
+      .select($"doc_id", $"pos".cast("int").as("chunk_idx"), $"col".as("chunk_text"),
+        size(split($"col", " ")).as("n_tokens"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** Deterministic stratified sampling for training-mix construction:
     * keep a doc iff u(doc_id) < rate(source), where u is a 60-bit
     * md5-derived uniform in [0,1). Scale shape: pure scan -> project ->

@@ -61,6 +61,8 @@ object PlanDump extends App {
     "Per-row regex counting + masking (RegExpExtractAll / RegExpReplace inside WholeStageCodegen); scan -> project -> sort, no shuffle.")
   dump("q_decontaminate", graft.queries.Queries.qDecontaminate(spark, sf),
     "Benchmark n-gram overlap: the eval set is FIXED-size by construction, so its distinct-gram table is broadcast (the justified-hint case) and the corpus side joins UN-deduplicated — the broadcast join filters first, and the count-distinct's dedup shuffle carries only the MATCHED grams (deduping before the join would shuffle the full exploded gram table); gram keys are 60-bit md5 prefixes.")
+  dump("q_chunk_fixed", graft.queries.Queries.qChunkFixed(spark, sf),
+    "Context-length chunking (64-token windows, stride 48): per-row Generate (posexplode) of O(len/stride) chunks — linear output, no shuffle except the presentation sort; token counts emitted inline so a downstream packer never re-tokenizes.")
   dump("q_sample_stratified", graft.queries.Queries.qSampleStratified(spark, sf),
     "Deterministic stratified hash sampling: u(doc_id) < rate(source) decided per row with no shuffle and no state — the only Exchange is the presentation sort. Reproducible across runs and partitionings; upsizing a stratum's rate keeps all previously-sampled rows.")
   Files.writeString(Paths.get("/root/repo/PLANS.md"),

@@ -310,6 +310,26 @@ class QueriesSpec extends AnyFunSuite {
       s"fixed-size benchmark gram set must broadcast — corpus side never shuffles for the join:\n$plan")
   }
 
+  test("chunking: exact chunks vs independent JVM recomputation; window/stride invariants") {
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val w = r.getString(1).split(" ").filter(_.nonEmpty)
+        if (w.isEmpty) Seq.empty
+        else {
+          val kmax = math.max(math.ceil((w.length - 64) / 48.0).toInt, 0)
+          (0 to kmax).map(k =>
+            (r.getLong(0), k, w.slice(k * 48, k * 48 + 64).mkString(" ")))
+        }
+      }.sortBy(t => (t._1, t._2))
+    val got = Queries.qChunkFixed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.length == expected.length)
+    assert(got.sameElements(expected))
+    got.foreach { case (_, _, c) =>
+      assert(c.split(" ").length <= 64) }
+  }
+
   test("stratified sample: exact kept-set vs independent JVM recomputation; scan-only plan") {
     def u(docId: Long): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
