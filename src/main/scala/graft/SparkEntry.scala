@@ -71,7 +71,8 @@ object SparkEntry {
     "q_pii_redact" -> (Queries.qPiiRedact(_, _)),
     "q_decontaminate" -> (Queries.qDecontaminate(_, _)),
     "q_sample_stratified" -> (Queries.qSampleStratified(_, _)),
-    "q_chunk_fixed" -> (Queries.qChunkFixed(_, _)))
+    "q_chunk_fixed" -> (Queries.qChunkFixed(_, _)),
+    "q_tfidf_top" -> (Queries.qTfidfTop(_, _)))
 
   /** DuckDB oracle SQL for the SQL-expressible queries; FST/alignment
     * queries are omitted (rows-only check) and validated by the golden

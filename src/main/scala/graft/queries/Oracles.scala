@@ -546,6 +546,28 @@ object Oracles {
       |WHERE t.doc_id >= 10
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** TF-IDF oracle: ln (natural log — DuckDB `log` is base 10), rounded
+    * score, ties broken lexicographically (mirrors Queries.qTfidfTop). */
+  val qTfidfTop: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents
+      |), dt AS (SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, sum(tc) AS dl FROM dt GROUP BY doc_id),
+      |df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |sc AS (
+      |  SELECT dt.doc_id, dt.term,
+      |    round((CAST(tc AS DOUBLE) / dl) * ln(n / df), 6) AS tfidf
+      |  FROM dt JOIN dl ON dt.doc_id = dl.doc_id JOIN df ON dt.term = df.term, nn
+      |), rk AS (
+      |  SELECT doc_id, term, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      |  FROM sc
+      |)
+      |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tfidf
+      |FROM rk WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin
+
   /** Context-chunking oracle: same 64-token window / 48 stride, final
     * short chunk kept (mirrors Queries.qChunkFixed). */
   val qChunkFixed: String =
@@ -611,5 +633,6 @@ object Oracles {
     "q_pii_redact" -> qPiiRedact,
     "q_decontaminate" -> qDecontaminate,
     "q_sample_stratified" -> qSampleStratified,
-    "q_chunk_fixed" -> qChunkFixed)
+    "q_chunk_fixed" -> qChunkFixed,
+    "q_tfidf_top" -> qTfidfTop)
 }

@@ -936,6 +936,39 @@ object Queries {
       |     WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
       |     ELSE 0.1 END""".stripMargin
 
+  /** TF-IDF top terms per document (keyword extraction): tf = term count
+    * / doc token count, idf = ln(N / df), top 5 terms per doc by score.
+    * Scale shape: ONE explode feeds a (doc_id, term) hash agg; the df
+    * table derives from that same aggregate (self-reuse via persist);
+    * the rank window is PARTITIONED by doc_id (bounded partitions, never
+    * global); the scalar N broadcasts as a literal. The doc-term <-> df
+    * join carries NO hint — df scales with vocabulary, AQE decides.
+    * Ties broken lexicographically so the result is deterministic. */
+  def qTfidfTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val n = docsDf(s, dir).count().toDouble
+    val docTerm = registerCache(
+      docsDf(s, dir)
+        .select($"doc_id", explode(expr(
+          "filter(split(text, ' '), t -> t <> '')")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val docLen = docTerm.groupBy($"doc_id").agg(sum($"tc").as("dl"))
+    val df = docTerm.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = docTerm
+      .join(docLen, "doc_id")
+      .join(df, "term")
+      .select($"doc_id", $"term",
+        round(($"tc" / $"dl") * log(lit(n) / $"df"), 6).as("tfidf"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy(desc("tfidf"), asc("term"))))
+      .where($"rk" <= 5)
+      .select($"doc_id", $"rk", $"term", $"tfidf")
+      .orderBy($"doc_id", $"rk")
+  }
+
   /** Context-length chunking for training-sequence preparation: split
     * each document into fixed-size token windows (64 tokens) with a
     * 16-token overlap (stride 48) — the standard sliding-context shape.

@@ -61,6 +61,8 @@ object PlanDump extends App {
     "Per-row regex counting + masking (RegExpExtractAll / RegExpReplace inside WholeStageCodegen); scan -> project -> sort, no shuffle.")
   dump("q_decontaminate", graft.queries.Queries.qDecontaminate(spark, sf),
     "Benchmark n-gram overlap: the eval set is FIXED-size by construction, so its distinct-gram table is broadcast (the justified-hint case) and the corpus side joins UN-deduplicated — the broadcast join filters first, and the count-distinct's dedup shuffle carries only the MATCHED grams (deduping before the join would shuffle the full exploded gram table); gram keys are 60-bit md5 prefixes.")
+  dump("q_tfidf_top", graft.queries.Queries.qTfidfTop(spark, sf),
+    "TF-IDF keyword extraction: ONE token explode feeds a persisted (doc_id, term) hash aggregate that BOTH the doc-length and the document-frequency sides re-read (InMemoryTableScan); the doc-term <-> df join carries no hint (df scales with vocabulary — AQE decides); the rank window is PARTITIONED by doc_id, never global.")
   dump("q_chunk_fixed", graft.queries.Queries.qChunkFixed(spark, sf),
     "Context-length chunking (64-token windows, stride 48): per-row Generate (posexplode) of O(len/stride) chunks — linear output, no shuffle except the presentation sort; token counts emitted inline so a downstream packer never re-tokenizes.")
   dump("q_sample_stratified", graft.queries.Queries.qSampleStratified(spark, sf),

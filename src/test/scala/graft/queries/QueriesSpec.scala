@@ -310,6 +310,26 @@ class QueriesSpec extends AnyFunSuite {
       s"fixed-size benchmark gram set must broadcast — corpus side never shuffles for the join:\n$plan")
   }
 
+  test("tfidf: rank window is doc-partitioned; doc-term aggregate reused via cache") {
+    val df = Queries.qTfidfTop(spark, sf)
+    try {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      // every doc contributes at most 5 ranked terms, ranks are 1..k dense
+      rows.groupBy(_.getLong(0)).values.foreach { rs =>
+        val rks = rs.map(_.getInt(1)).sorted
+        assert(rks.length <= 5 && rks.sameElements(1 to rks.length))
+      }
+      val plan = df.queryExecution.executedPlan.toString
+      val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(windowLines.nonEmpty && windowLines.forall(_.contains("doc_id")),
+        s"rank window must be PARTITIONED by doc_id, never global:\n$plan")
+      // the explode+agg runs once: consumers read the persisted doc-term
+      // aggregate (InMemoryTableScan), not three separate parquet scans
+      assert(plan.contains("InMemoryTableScan"), plan)
+    } finally Queries.releaseCaches()
+  }
+
   test("chunking: exact chunks vs independent JVM recomputation; window/stride invariants") {
     val expected = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
