@@ -41,7 +41,13 @@ object CliArgs {
               throw new IllegalArgumentException(s"unknown flag: $raw"))
           m(k) = k0.substring(eq + 1); i += 1
         } else {
-          val k = aliases.getOrElse(k0, k0.stripPrefix("--"))
+          // same strictness as the '=' form: an unknown single-dash flag
+          // is an error (silently accepting "-z" would also swallow its
+          // value argument); --long flags resolve by name
+          val k =
+            if (k0.startsWith("--")) aliases.getOrElse(k0, k0.substring(2))
+            else aliases.getOrElse(k0,
+              throw new IllegalArgumentException(s"unknown flag: $k0"))
           if (i + 1 < args.length && !isFlagToken(args(i + 1))) {
             m(k) = args(i + 1); i += 2
           } else { m(k) = "true"; i += 1 } // boolean flag

@@ -58,8 +58,21 @@ object Queries {
     * trusting "covered everything". */
   private val observed =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Any]]()
-  def lastObserved(name: String): Option[Map[String, Any]] =
-    Option(observed.get(name))
+  /** QueryExecutionListener callbacks arrive ASYNCHRONOUSLY on the
+    * listener bus, so a read issued right after an action can race the
+    * recording — poll briefly before giving up. Callers that must not
+    * read a previous run's value for the same metric name should
+    * `clearObserved(name)` before triggering the action. */
+  def lastObserved(name: String, timeoutMs: Long = 5000): Option[Map[String, Any]] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var v = observed.get(name)
+    while (v == null && System.nanoTime() < deadline) {
+      Thread.sleep(20)
+      v = observed.get(name)
+    }
+    Option(v)
+  }
+  def clearObserved(name: String): Unit = observed.remove(name)
   private val obsSessions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
   private def ensureObserveListener(s: SparkSession): Unit =
@@ -690,7 +703,12 @@ object Queries {
     import s.implicits._
     val e = s.read.parquet(s"$dir/embeddings.parquet")
     val cos = ivfCos
-    val cents = ivfRefine(e, ivfSeedCentroids(e))
+    // persisted: the 16-row refined centroid table is consumed TWICE
+    // (driver-side probe pick + the returned plan's assignment) and its
+    // lineage is the full Lloyd refinement over the corpus — without the
+    // persist the refinement subtree executes once per consumer
+    val cents = registerCache(ivfRefine(e, ivfSeedCentroids(e))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val assign = ivfAssign(e, cents)
     // probe cells: the 2 refined centroids nearest the query vector
     // (16-row driver-side collect — bounded by the fixed centroid count)

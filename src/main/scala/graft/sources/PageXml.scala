@@ -188,6 +188,7 @@ object PageXml {
     * word-granular rewrite + upward fold (see object Scaladoc). */
   private def applyCorrections(doc: Document,
       corrections: Map[String, String]): Unit = {
+    val touched = scala.collection.mutable.Set.empty[Element]
     linesIn(doc).foreach { line =>
       corrections.get(line.getAttribute("id")).foreach { corrected =>
         val words = children(line, "Word")
@@ -202,25 +203,37 @@ object PageXml {
             if (piece.isEmpty) line.removeChild(wEl)
             else setEquivText(doc, wEl, piece)
           }
-        } else setEquivText(doc, line, corrected) // word-less line
+        }
+        // line equiv ALWAYS reflects the correction — the ' '.join of
+        // the surviving word pieces is the corrected string itself, and
+        // setting it directly also covers word-less lines and lines
+        // corrected to the empty string (every word removed), which a
+        // word-fold guard would silently skip
+        setEquivText(doc, line, corrected)
+        touched += line
       }
     }
-    // page-wide upward fold (decode.py:279-316, level='word'):
-    // line = ' '.join(words), region = '\n'.join(lines). Word-less
-    // lines keep their existing equiv (documented divergence).
+    // region-level upward fold (decode.py:279-316): region =
+    // '\n'.join(lines), built from each line's (now current) equiv.
+    // Untouched lines keep an EXISTING equiv verbatim — refolding them
+    // from word equivs would not be a no-op (a word without a TextEquiv
+    // would inject a phantom empty token the read path's flatMap never
+    // sees). A line with word-level-only annotation gets its equiv
+    // filled in with the read path's exact join semantics.
     val regions = doc.getElementsByTagNameNS("*", "TextRegion")
     (0 until regions.getLength).map(regions.item(_).asInstanceOf[Element])
       .foreach { region =>
         val lines = children(region, "TextLine")
-        lines.foreach { line =>
-          val words = children(line, "Word")
-          if (words.nonEmpty)
-            setEquivText(doc, line,
-              words.map(w => firstEquivText(w).getOrElse("")).mkString(" "))
+        if (lines.nonEmpty && lines.exists(touched.contains)) {
+          val lineTexts = lines.map { l =>
+            firstEquivText(l).getOrElse {
+              val t = children(l, "Word").flatMap(firstEquivText).mkString(" ")
+              setEquivText(doc, l, t)
+              t
+            }
+          }
+          setEquivText(doc, region, lineTexts.mkString("\n"))
         }
-        if (lines.nonEmpty)
-          setEquivText(doc, region,
-            lines.map(l => firstEquivText(l).getOrElse("")).mkString("\n"))
       }
   }
 
@@ -280,22 +293,28 @@ object PageXml {
       }
       .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
         val base = new org.apache.hadoop.fs.Path(out)
-        val fs = base.getFileSystem(confSer.value)
-        // the contract is exactly one file per entry — no .crc
-        // sidecars from the checksummed local FS (no-op on HDFS/S3A)
-        fs.setWriteChecksum(false)
-        it.foreach { case (file, xml) =>
-          // the source path is a percent-encoded URI ("seite%201.xml"
-          // for "seite 1.xml") — decode via URI so the output keeps the
-          // ORIGINAL basename (METS fileGrp entries reference pages by
-          // filename; URLDecoder would additionally corrupt '+')
-          val path =
-            try new java.net.URI(file).getPath
-            catch { case _: java.net.URISyntaxException => file }
-          val name = path.substring(path.lastIndexOf('/') + 1)
-          val os = fs.create(new org.apache.hadoop.fs.Path(base, name), true)
-          try os.write(xml) finally os.close()
-        }
+        // newInstance, NOT the cached get(): the checksum flag below
+        // must not leak to every other writer sharing the JVM's cached
+        // FileSystem (see Sources.savePairsToDir)
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+          base.toUri, confSer.value)
+        try {
+          // the contract is exactly one file per entry — no .crc
+          // sidecars from the checksummed local FS (no-op on HDFS/S3A)
+          fs.setWriteChecksum(false)
+          it.foreach { case (file, xml) =>
+            // the source path is a percent-encoded URI ("seite%201.xml"
+            // for "seite 1.xml") — decode via URI so the output keeps the
+            // ORIGINAL basename (METS fileGrp entries reference pages by
+            // filename; URLDecoder would additionally corrupt '+')
+            val path =
+              try new java.net.URI(file).getPath
+              catch { case _: java.net.URISyntaxException => file }
+            val name = path.substring(path.lastIndexOf('/') + 1)
+            val os = fs.create(new org.apache.hadoop.fs.Path(base, name), true)
+            try os.write(xml) finally os.close()
+          }
+        } finally fs.close()
       }
   }
 }

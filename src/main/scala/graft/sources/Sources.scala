@@ -76,18 +76,25 @@ object Sources {
       .where(col("id").isNotNull)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val base = new org.apache.hadoop.fs.Path(d)
-        val fs = base.getFileSystem(confSer.value)
-        // the contract is exactly one file per entry — no .crc
-        // sidecars from the checksummed local FS (no-op on HDFS/S3A)
-        fs.setWriteChecksum(false)
-        it.foreach { r =>
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(base, s"${r.getString(0)}.$sfx"),
-            true)
-          try out.write(r.getString(1)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-        }
+        // newInstance, NOT the cached get(): setWriteChecksum on the
+        // shared cached FileSystem would disable .crc sidecars for every
+        // other writer in this JVM for its lifetime; a private instance
+        // scopes the flag to this task and is closed with it
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+          base.toUri, confSer.value)
+        try {
+          // the contract is exactly one file per entry — no .crc
+          // sidecars from the checksummed local FS (no-op on HDFS/S3A)
+          fs.setWriteChecksum(false)
+          it.foreach { r =>
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(base, s"${r.getString(0)}.$sfx"),
+              true)
+            try out.write(r.getString(1)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+        } finally fs.close()
       }
   }
 

@@ -130,6 +130,7 @@ private[wfst] final class ArcSink(cap0: Int = 64) {
   * driver and broadcast; per-line work happens inside `mapPartitions`
   * closures (SURVEY.md §1 row 1.7).
   */
+@SerialVersionUID(1L) // pinned: ModelIO artifacts must survive method additions
 final class Wfst private (
     val start: Int,
     val numStates: Int,

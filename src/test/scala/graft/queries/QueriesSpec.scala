@@ -212,9 +212,10 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("jaccard df-cut drop count is observed, not silent") {
+    Queries.clearObserved("jaccard_dfcut") // don't read an earlier run's value
     Queries.qNgramJaccard(spark, sf).collect()
     Queries.releaseCaches()
-    val m = Queries.lastObserved("jaccard_dfcut")
+    val m = Queries.lastObserved("jaccard_dfcut") // polls: listener bus is async
     assert(m.isDefined, "observe metric jaccard_dfcut not recorded")
     val total = m.get("total_shingles").asInstanceOf[Long]
     val dropped = m.get("dropped_shingles").asInstanceOf[Long]

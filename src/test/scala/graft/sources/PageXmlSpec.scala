@@ -79,6 +79,32 @@ class PageXmlSpec extends AnyFunSuite {
     assert("<Word ".r.findAllIn(out).length == 1)
   }
 
+  test("A9 write-back: line corrected to EMPTY updates the line equiv (words removed)") {
+    val xml = page(Seq("l1" -> Seq("weg", "damit"), "l2" -> Seq("zu", "bringen")))
+    val out = PageXml.applyCorrections(xml, Map("l1" -> ""))
+    // every word of l1 merged away AND the line-level text is cleared —
+    // a word-fold guard over the now-empty word list would silently keep
+    // the stale OCR text
+    assert(PageXml.linesOf(out) == Seq(("l1", ""), ("l2", "zu bringen")))
+    assert(!out.contains("weg") && !out.contains("damit"))
+  }
+
+  test("A9 write-back: untouched line with its own equiv stays verbatim (no phantom refold)") {
+    val xml =
+      s"""<?xml version="1.0"?><PcGts xmlns="$NS"><Page><TextRegion id="r0">
+         |<TextLine id="l1"><Word id="w0"><TextEquiv><Unicode>ih</Unicode></TextEquiv></Word></TextLine>
+         |<TextLine id="l2"><Word id="w1"><TextEquiv><Unicode>a</Unicode></TextEquiv></Word><Word id="w2"/>
+         |<TextEquiv><Unicode>a</Unicode></TextEquiv></TextLine>
+         |</TextRegion></Page></PcGts>""".stripMargin
+    val out = PageXml.applyCorrections(xml, Map("l1" -> "ich"))
+    // l2 has a word WITHOUT a TextEquiv: refolding it from words would
+    // inject a phantom empty token ("a " / "a  b"); its existing line
+    // equiv must survive byte-identical
+    assert(PageXml.linesOf(out) == Seq(("l1", "ich"), ("l2", "a")))
+    assert(out.contains("ich\na"))
+    assert(!out.contains("<Unicode>a </Unicode>"))
+  }
+
   test("distributeWords: split, merge, and identity cases") {
     assert(PageXml.distributeWords(Seq("ihniht"), "ih niht") == Seq("ih niht"))
     assert(PageXml.distributeWords(Seq("zu", "bringen"), "zubringen")
