@@ -72,7 +72,10 @@ object SparkEntry {
     "q_decontaminate" -> (Queries.qDecontaminate(_, _)),
     "q_sample_stratified" -> (Queries.qSampleStratified(_, _)),
     "q_chunk_fixed" -> (Queries.qChunkFixed(_, _)),
-    "q_tfidf_top" -> (Queries.qTfidfTop(_, _)))
+    "q_tfidf_top" -> (Queries.qTfidfTop(_, _)),
+    // rows-only: greedy packing is order-dependent, not SQL-expressible;
+    // invariants (exact cover, budget, determinism) are spec-pinned
+    "q_pack_sequences" -> (Queries.qPackSequences(_, _)))
 
   /** DuckDB oracle SQL for the SQL-expressible queries; FST/alignment
     * queries are omitted (rows-only check) and validated by the golden

@@ -1010,6 +1010,46 @@ object Queries {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Sequence packing for training batches: greedy first-fit of the
+    * fixed-size chunks (qChunkFixed) into packs of <= 256 tokens.
+    * Greedy packing is inherently order-dependent — not SQL-expressible
+    * — so this is the one place mapPartitions earns its keep in the
+    * query battery (rows-only driver check; invariants spec-pinned:
+    * exact cover, budget respected, deterministic pack ids).
+    * Scale shape: chunks are range-partitioned by (doc_id, chunk_idx)
+    * — ONE shuffle to co-locate and order them — then each partition
+    * packs independently; pack ids are (partition, seq) so no global
+    * coordination exists. Packs never cross partition boundaries (the
+    * standard data-parallel packing compromise: at most one underfull
+    * pack per partition). */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 256
+    val chunks = qChunkFixed(s, dir) // already sorted doc_id, chunk_idx
+      .select($"doc_id", $"chunk_idx", $"n_tokens")
+      .as[(Long, Int, Int)]
+    chunks.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var seq = 0
+      var used = 0
+      val members = scala.collection.mutable.ArrayBuffer.empty[String]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, String)]
+      def flush(): Unit = if (members.nonEmpty) {
+        out += ((f"pack-$pid%04d-$seq%05d", members.length, used,
+          members.mkString(",")))
+        seq += 1; used = 0; members.clear()
+      }
+      it.foreach { case (docId, chunkIdx, n) =>
+        if (used + n > budget) flush()
+        used += n
+        members += s"$docId:$chunkIdx"
+      }
+      flush()
+      out.iterator
+    }.toDF("pack_id", "n_chunks", "n_tokens", "members")
+      .orderBy($"pack_id")
+  }
+
   /** Deterministic stratified sampling for training-mix construction:
     * keep a doc iff u(doc_id) < rate(source), where u is a 60-bit
     * md5-derived uniform in [0,1). Scale shape: pure scan -> project ->

@@ -351,6 +351,24 @@ class QueriesSpec extends AnyFunSuite {
       assert(c.split(" ").length <= 64) }
   }
 
+  test("packing: exact cover of all chunks, budget respected, deterministic") {
+    val chunks = Queries.qChunkFixed(spark, sf).collect()
+      .map(r => (s"${r.getLong(0)}:${r.getInt(1)}", r.getInt(3))).toMap
+    val packs = Queries.qPackSequences(spark, sf).collect()
+    // exact cover: every chunk in exactly one pack
+    val packed = packs.flatMap(_.getString(3).split(","))
+    assert(packed.length == chunks.size && packed.toSet == chunks.keySet)
+    packs.foreach { p =>
+      val members = p.getString(3).split(",")
+      assert(p.getInt(1) == members.length)
+      assert(p.getInt(2) == members.map(chunks).sum, p.toString)
+      assert(p.getInt(2) <= 256 || members.length == 1)
+    }
+    // deterministic within a session/config
+    val again = Queries.qPackSequences(spark, sf).collect().map(_.toString)
+    assert(again.sameElements(packs.map(_.toString)))
+  }
+
   test("stratified sample: exact kept-set vs independent JVM recomputation; scan-only plan") {
     def u(docId: Long): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
