@@ -373,8 +373,15 @@ object ErrorModelST {
         if (x == y) idMaps(n) += ((x, y, w)) else errMaps(n) += ((x, y, w))
       }
     }
-    val idTrs = idMaps.map(m => Wfst.fromMappings(m))
-    val errTrs = errMaps.map(m => Wfst.fromMappings(m))
+    // pushed + minimized BEFORE splicing (the reference's optimize(),
+    // lib/error_st.py:277): each machine is copied into the grid up to
+    // maxErrors+1 times, so the DAWG shrink multiplies; pushing moves
+    // the weight to each chain's first arc and finWt becomes 0, which
+    // the splice's exit-eps arc carries unchanged
+    val idTrs = idMaps.map(m =>
+      Wfst.fromMappings(m).pushWeights.minimizeAcyclic.connect)
+    val errTrs = errMaps.map(m =>
+      Wfst.fromMappings(m).pushWeights.minimizeAcyclic.connect)
 
     // grid states (i, j): i = errors so far, j = pending ngram order
     // (0 = hub). Builder state ids: grid first, then spliced machines.
