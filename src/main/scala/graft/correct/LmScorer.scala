@@ -168,4 +168,36 @@ object LmDecoder {
     }
     doc.copy(spans = spans)
   }
+
+  /** G10 `_get_context_from_identifier` (wrapper/decode.py:254-262):
+    * decade-of-publication context id from a document identifier — last
+    * path segment, last '_'-separated token; numeric year -> ceil(y/10),
+    * anything else -> 0. The reference feeds this to the keraslm rater
+    * as an extra model input; here it SELECTS a per-context LM. */
+  def contextFromIdentifier(identifier: String): Seq[Int] = {
+    if (identifier == null || identifier.isEmpty) return Seq(0)
+    val name = identifier.split('/').last
+    val year = name.split('_').last
+    if (year.nonEmpty && year.forall(_.isDigit))
+      Seq(math.ceil(year.toInt / 10.0).toInt)
+    else Seq(0)
+  }
+
+  /** Per-context LM selection (the keraslm-context analogue at our
+    * pluggable-LM abstraction): pick the scorer trained for the
+    * document's decade, falling back to the default for unknown
+    * contexts (context 0 included). */
+  def scorerFor(byContext: Map[Int, LmScorer], fallback: LmScorer,
+      identifier: String): LmScorer =
+    contextFromIdentifier(identifier).headOption
+      .flatMap(byContext.get).getOrElse(fallback)
+
+  /** correctDocLm with decade-context LM selection from doc_id. */
+  def correctDocLmContextual(doc: graft.pipeline.Doc, model: CompiledModel,
+      byContext: Map[Int, LmScorer], fallback: LmScorer,
+      lmWeight: Double = 0.5, beamWidth: Int = 100,
+      cache: AltCache = null,
+      beamClusteringDist: Double = 0.0): graft.pipeline.Doc =
+    correctDocLm(doc, model, scorerFor(byContext, fallback, doc.doc_id),
+      lmWeight, beamWidth, cache, beamClusteringDist)
 }

@@ -72,4 +72,24 @@ class LmSpec extends AnyFunSuite {
     // deterministic
     assert(LmDecoder.correctDocLm(doc, model, lm) == out)
   }
+
+  test("G10 context from identifier: decade parse per decode.py:254-262") {
+    assert(LmDecoder.contextFromIdentifier("OCR-D-GT/grenzboten_1841") == Seq(185))
+    assert(LmDecoder.contextFromIdentifier("band_1900") == Seq(190))
+    assert(LmDecoder.contextFromIdentifier("a/b/c_1905") == Seq(191)) // ceil
+    assert(LmDecoder.contextFromIdentifier("no_year_here") == Seq(0))
+    assert(LmDecoder.contextFromIdentifier("") == Seq(0))
+    assert(LmDecoder.contextFromIdentifier(null) == Seq(0))
+  }
+
+  test("G10 contextual LM selection picks the decade model, falls back otherwise") {
+    val decadeLm = CharNgramLm.train(Seq("ich nicht weiß"), n = 4)
+    val byCtx = Map(185 -> (decadeLm: LmScorer))
+    assert(LmDecoder.scorerFor(byCtx, lm, "x/doc_1843") eq decadeLm)
+    assert(LmDecoder.scorerFor(byCtx, lm, "x/doc_1999") eq lm)
+    assert(LmDecoder.scorerFor(byCtx, lm, "undatiert") eq lm)
+    val doc = Doc("sammlung_1847", Seq(Span("text", "ih niht weiß", "", 0)))
+    val out = LmDecoder.correctDocLmContextual(doc, model, byCtx, lm)
+    assert(out.spans(0).text == "ich nicht weiß")
+  }
 }
