@@ -993,7 +993,10 @@ object Queries {
     * Scale: per-row explode of O(len/stride) chunks, no shuffle except
     * the presentation sort; chunk text is emitted alongside its token
     * count so a packer can budget without re-tokenizing. */
-  def qChunkFixed(s: SparkSession, dir: String): DataFrame = {
+  /** Unsorted chunk stream shared by qChunkFixed (which adds the
+    * presentation sort) and qPackSequences (which co-locates by hash
+    * instead — a global range sort would be wasted there). */
+  private def chunksRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (win, stride) = (64, 48)
     docsDf(s, dir)
@@ -1007,7 +1010,11 @@ object Queries {
               k -> concat_ws(' ', slice(w, k * $stride + 1, $win)))""")))
       .select($"doc_id", $"pos".cast("int").as("chunk_idx"), $"col".as("chunk_text"),
         size(split($"col", " ")).as("n_tokens"))
-      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  def qChunkFixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    chunksRaw(s, dir).orderBy($"doc_id", $"chunk_idx")
   }
 
   /** Sequence packing for training batches: greedy first-fit of the
@@ -1025,8 +1032,14 @@ object Queries {
   def qPackSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val budget = 256
-    val chunks = qChunkFixed(s, dir) // already sorted doc_id, chunk_idx
+    // hash co-location + local sort, NOT qChunkFixed's presentation
+    // orderBy: a global range sort costs an extra sampling job and a
+    // total order nobody needs — packing only requires a doc's chunks
+    // together and in order WITHIN a partition
+    val chunks = chunksRaw(s, dir)
       .select($"doc_id", $"chunk_idx", $"n_tokens")
+      .repartition($"doc_id")
+      .sortWithinPartitions($"doc_id", $"chunk_idx")
       .as[(Long, Int, Int)]
     chunks.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
