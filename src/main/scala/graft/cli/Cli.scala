@@ -21,8 +21,23 @@ object CliArgs {
   private def isFlagToken(t: String): Boolean =
     t.startsWith("-") && NumberLike.unapplySeq(t).isEmpty
 
-  def parse(args: Array[String], aliases: Map[String, String]): Map[String, String] = {
+  /** `known` (optional): the full set of accepted long key names. When
+    * provided, an unresolvable --long flag errors exactly like an
+    * unknown -x short flag — otherwise a typo'd --long flag would be
+    * silently stored under its own name AND swallow its value argument
+    * (the caller then fails later on a misleading missing-key error, or
+    * worse, runs with a default). `null` = permissive (generic use). */
+  def parse(args: Array[String], aliases: Map[String, String],
+      known: Set[String] = null): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
+    def resolve(raw: String): String =
+      if (raw.startsWith("--")) {
+        val k = aliases.getOrElse(raw, raw.substring(2))
+        if (known != null && !known.contains(k))
+          throw new IllegalArgumentException(s"unknown flag: $raw")
+        k
+      } else aliases.getOrElse(raw,
+        throw new IllegalArgumentException(s"unknown flag: $raw"))
     var i = 0
     while (i < args.length) {
       val k0 = args(i)
@@ -30,24 +45,13 @@ object CliArgs {
         throw new IllegalArgumentException(s"bare '$k0' is not a flag")
       if (isFlagToken(k0)) {
         // --key=value and -k=value forms: resolve the alias on the
-        // pre-'=' part (a single-dash '='-bearing token that resolves to
-        // no known alias is an error, not a silently-ignored bogus key)
+        // pre-'=' part; unknown flags error in EVERY spelling (an
+        // accepted bogus key would also swallow its value argument)
         val eq = k0.indexOf('=')
         if (eq > 0) {
-          val raw = k0.substring(0, eq)
-          val k =
-            if (raw.startsWith("--")) aliases.getOrElse(raw, raw.substring(2))
-            else aliases.getOrElse(raw,
-              throw new IllegalArgumentException(s"unknown flag: $raw"))
-          m(k) = k0.substring(eq + 1); i += 1
+          m(resolve(k0.substring(0, eq))) = k0.substring(eq + 1); i += 1
         } else {
-          // same strictness as the '=' form: an unknown single-dash flag
-          // is an error (silently accepting "-z" would also swallow its
-          // value argument); --long flags resolve by name
-          val k =
-            if (k0.startsWith("--")) aliases.getOrElse(k0, k0.substring(2))
-            else aliases.getOrElse(k0,
-              throw new IllegalArgumentException(s"unknown flag: $k0"))
+          val k = resolve(k0)
           if (i + 1 < args.length && !isFlagToken(args(i + 1))) {
             m(k) = args(i + 1); i += 2
           } else { m(k) = "true"; i += 1 } // boolean flag
@@ -106,13 +110,15 @@ object CliArgs {
   * --unweighted-lexicon; -Q parallelism. */
 object Train {
   def main(args: Array[String]): Unit = {
-    val a = CliArgs.parse(args, Map(
+    val trainAliases = Map(
       "-t" -> "training-file", "-i" -> "input-file", "-g" -> "gt-file",
       "-w" -> "wordlist-file", "-l" -> "lexicon-file",
       "-e" -> "error-model-file", "-M" -> "model-file",
       "-C" -> "max-context", "-E" -> "max-errors",
       "-p" -> "preserve-punctuation", "-D" -> "composition-depth",
-      "-T" -> "error-model-type", "-Q" -> "processes"))
+      "-T" -> "error-model-type", "-Q" -> "processes")
+    val a = CliArgs.parse(args, trainAliases, trainAliases.values.toSet ++
+      Set("lexicon-added-word-cost", "unweighted-lexicon"))
     val (spark, owned) = CliArgs.spark(a.getOrElse("processes", "4").toInt)
     import spark.implicits._
     try {
@@ -168,7 +174,7 @@ object Train {
   * -Q/--processes (Spark local parallelism — the fork-pool analogue). */
 object Process {
   def main(args: Array[String]): Unit = {
-    val a = CliArgs.parse(args, Map(
+    val processAliases = Map(
       "-M" -> "model-file", "-l" -> "lexicon-file",
       "-e" -> "error-model-file", "-i" -> "input-file",
       "-o" -> "output-file", "-W" -> "words-per-window",
@@ -177,7 +183,9 @@ object Process {
       // per-file directory I/O (process.py -d/-I/-O): input from
       // <dir>/<id>.<input-suffix>, output to <dir>/<id>.<output-suffix>
       "-d" -> "directory", "-I" -> "input-suffix",
-      "-O" -> "output-suffix"))
+      "-O" -> "output-suffix")
+    val a = CliArgs.parse(args, processAliases, processAliases.values.toSet ++
+      Set("page-xml-dir", "page-xml-out"))
     val (spark, owned) = CliArgs.spark(a.getOrElse("processes", "4").toInt)
     import spark.implicits._
     try {
@@ -255,9 +263,10 @@ object Process {
   * precision-recall} (default combining-e-umlauts, evaluate.py:234). */
 object Evaluate {
   def main(args: Array[String]): Unit = {
-    val a = CliArgs.parse(args, Map(
+    val evalAliases = Map(
       "-i" -> "input-file", "-o" -> "output-file", "-g" -> "gt-file",
-      "-M" -> "metric", "-Q" -> "processes"))
+      "-M" -> "metric", "-Q" -> "processes")
+    val a = CliArgs.parse(args, evalAliases, evalAliases.values.toSet)
     val metric = a.getOrElse("metric", "combining-e-umlauts")
     val (spark, owned) = CliArgs.spark(a.getOrElse("processes", "4").toInt)
     import spark.implicits._

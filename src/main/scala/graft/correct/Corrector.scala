@@ -19,11 +19,12 @@ final case class Lattice(nTokens: Int, edges: Map[(Int, Int), Seq[Alt]])
 
 /** Compiled correction model, built once on the driver and broadcast
   * (the COW-fork analogue of scripts/process.py:14,55-70). Both FSTs are
-  * arcSort'd for composition. serialVersionUID is PINNED: adding methods
-  * or optional fields must not invalidate previously-saved ModelIO
-  * artifacts (Java's default UID hashes the member list, so the round-4
-  * lexiconFst addition would otherwise have broken every older file —
-  * the withWordsPerWindow fallback below exists for exactly those). */
+  * arcSort'd for composition. serialVersionUID is PINNED from this
+  * version FORWARD: Java's default UID hashes the member list, so
+  * without the pin every future method/field addition would invalidate
+  * saved ModelIO artifacts (as this round's lexiconFst addition did to
+  * anything saved before the pin — a one-time break; from here on the
+  * withWordsPerWindow null-field fallback below is reachable). */
 @SerialVersionUID(1L)
 final case class CompiledModel(
     errorFst: Option[Wfst],

@@ -176,9 +176,13 @@ object LmDecoder {
     * as an extra model input; here it SELECTS a per-context LM. */
   def contextFromIdentifier(identifier: String): Seq[Int] = {
     if (identifier == null || identifier.isEmpty) return Seq(0)
-    val name = identifier.split('/').last
-    val year = name.split('_').last
-    if (year.nonEmpty && year.forall(_.isDigit))
+    // lastOption: split of separator-only input ("/", "a/_") yields an
+    // empty array and .last would throw; a 10+-digit "year" would
+    // overflow toInt (Python's int() is unbounded) — both map to the
+    // no-context default instead of killing the executor task
+    val year = identifier.split('/').lastOption
+      .flatMap(_.split('_').lastOption).getOrElse("")
+    if (year.nonEmpty && year.length <= 9 && year.forall(_.isDigit))
       Seq(math.ceil(year.toInt / 10.0).toInt)
     else Seq(0)
   }

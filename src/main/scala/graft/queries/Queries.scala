@@ -63,7 +63,7 @@ object Queries {
     * recording — poll briefly before giving up. Callers that must not
     * read a previous run's value for the same metric name should
     * `clearObserved(name)` before triggering the action. */
-  def lastObserved(name: String, timeoutMs: Long = 5000): Option[Map[String, Any]] = {
+  def lastObserved(name: String, timeoutMs: Long = 2000): Option[Map[String, Any]] = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var v = observed.get(name)
     while (v == null && System.nanoTime() < deadline) {
@@ -965,7 +965,10 @@ object Queries {
   def qTfidfTop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val n = docsDf(s, dir).count().toDouble
+    // N stays INSIDE the plan (broadcast 1-row cross join) — an eager
+    // .count() here would run a Spark job at builder time, breaking the
+    // battery's builder-is-lazy invariant (PlanDump would scan parquet)
+    val nDf = docsDf(s, dir).agg(count(lit(1)).cast("double").as("n"))
     val docTerm = registerCache(
       docsDf(s, dir)
         .select($"doc_id", explode(expr(
@@ -977,8 +980,9 @@ object Queries {
     val scored = docTerm
       .join(docLen, "doc_id")
       .join(df, "term")
+      .crossJoin(broadcast(nDf))
       .select($"doc_id", $"term",
-        round(($"tc" / $"dl") * log(lit(n) / $"df"), 6).as("tfidf"))
+        round(($"tc" / $"dl") * log($"n" / $"df"), 6).as("tfidf"))
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy($"doc_id").orderBy(desc("tfidf"), asc("term"))))
@@ -987,15 +991,13 @@ object Queries {
       .orderBy($"doc_id", $"rk")
   }
 
-  /** Context-length chunking for training-sequence preparation: split
-    * each document into fixed-size token windows (64 tokens) with a
-    * 16-token overlap (stride 48) — the standard sliding-context shape.
-    * Scale: per-row explode of O(len/stride) chunks, no shuffle except
-    * the presentation sort; chunk text is emitted alongside its token
-    * count so a packer can budget without re-tokenizing. */
   /** Unsorted chunk stream shared by qChunkFixed (which adds the
     * presentation sort) and qPackSequences (which co-locates by hash
-    * instead — a global range sort would be wasted there). */
+    * instead — a global range sort would be wasted there): fixed-size
+    * token windows (64 tokens) with a 16-token overlap (stride 48), the
+    * standard sliding-context shape; per-row explode of O(len/stride)
+    * chunks; chunk text is emitted alongside its token count so a
+    * downstream packer can budget without re-tokenizing. */
   private def chunksRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (win, stride) = (64, 48)
@@ -1017,27 +1019,38 @@ object Queries {
     chunksRaw(s, dir).orderBy($"doc_id", $"chunk_idx")
   }
 
-  /** Sequence packing for training batches: greedy first-fit of the
-    * fixed-size chunks (qChunkFixed) into packs of <= 256 tokens.
-    * Greedy packing is inherently order-dependent — not SQL-expressible
-    * — so this is the one place mapPartitions earns its keep in the
-    * query battery (rows-only driver check; invariants spec-pinned:
-    * exact cover, budget respected, deterministic pack ids).
-    * Scale shape: chunks are range-partitioned by (doc_id, chunk_idx)
-    * — ONE shuffle to co-locate and order them — then each partition
-    * packs independently; pack ids are (partition, seq) so no global
+  /** Sequence packing for training batches: greedy NEXT-fit of the
+    * fixed-size chunks (qChunkFixed) into packs of <= 256 tokens — one
+    * open pack, closed permanently when the next chunk overflows it
+    * (the order-preserving streaming discipline; first-fit would break
+    * chunk order inside packs and require an open-pack search).
+    * Order-dependent packing is not SQL-expressible, so this is the one
+    * place mapPartitions earns its keep in the query battery (rows-only
+    * driver check; invariants spec-pinned: exact cover, budget
+    * respected, deterministic pack ids). Scale shape: token counts are
+    * computed ARITHMETICALLY (least(win, len - k*stride)) — the chunk
+    * strings are never built on this path — then ONE hash shuffle
+    * co-locates each doc's chunk stats and every partition packs
+    * independently; pack ids are (partition, seq) so no global
     * coordination exists. Packs never cross partition boundaries (the
     * standard data-parallel packing compromise: at most one underfull
     * pack per partition). */
   def qPackSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val budget = 256
-    // hash co-location + local sort, NOT qChunkFixed's presentation
-    // orderBy: a global range sort costs an extra sampling job and a
-    // total order nobody needs — packing only requires a doc's chunks
-    // together and in order WITHIN a partition
-    val chunks = chunksRaw(s, dir)
-      .select($"doc_id", $"chunk_idx", $"n_tokens")
+    // stats-only chunk derivation + hash co-location + local sort, NOT
+    // qChunkFixed: materializing chunk TEXT (concat_ws over 64 tokens,
+    // re-split to count) and a global range sort are both wasted work
+    // when only (doc_id, chunk_idx, n_tokens) feeds the packer
+    val chunks = docsDf(s, dir)
+      .select($"doc_id",
+        expr("size(filter(split(text, ' '), t -> t <> ''))").as("len"))
+      .where($"len" >= 1)
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(0, CAST(greatest(ceil((len - 64) / CAST(48 AS DOUBLE)), 0) AS INT)),
+             k -> least(64, len - k * 48))""")))
+      .select($"doc_id", $"pos".cast("int").as("chunk_idx"),
+        $"col".cast("int").as("n_tokens"))
       .repartition($"doc_id")
       .sortWithinPartitions($"doc_id", $"chunk_idx")
       .as[(Long, Int, Int)]
