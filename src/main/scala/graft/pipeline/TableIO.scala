@@ -2,8 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Iceberg-shaped table IO (SURVEY.md §7.5). The sandbox has no Iceberg
   * runtime jars, so the snapshot/commit semantics of the north rule are
@@ -13,8 +12,15 @@ import scala.jdk.CollectionConverters._
   * a snapshot file lists committed buckets. Resume = re-run the same
   * write; committed buckets are filtered out before any work happens
   * (predicate on the bucket column → only pending docs are scanned).
-  * Swapping in real Iceberg later is one re-implementation of this seam.
-  */
+  * Swapping in real Iceberg later is one implementation of this seam.
+  *
+  * ALL filesystem access goes through the Hadoop FileSystem resolved
+  * from the table path — manifests, snapshots and the bucket rename
+  * work identically on file:/, HDFS and S3A (java.nio would silently
+  * write driver-local paths and cannot rename an HDFS directory). The
+  * caveat inherited from Hadoop: rename is atomic on HDFS/file: but
+  * copy-based on S3A — real Iceberg solves that with metadata-pointer
+  * commits, which is exactly the seam this class emulates. */
 object TableIO {
 
   final case class BucketManifest(bucket: Int, numDocs: Long, numSpans: Long,
@@ -23,21 +29,32 @@ object TableIO {
   /** Test-only failure injection: throw after committing N buckets. */
   final class InjectedFailure(msg: String) extends RuntimeException(msg)
 
-  private def manifestDir(path: String): Path = Paths.get(path, "_manifests")
-  private def dataDir(path: String): Path = Paths.get(path, "data")
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+  private def manifestDir(root: Path): Path = new Path(root, "_manifests")
+  private def dataDir(root: Path): Path = new Path(root, "data")
+
+  private def committedBuckets(fs: FileSystem, root: Path): Set[Int] = {
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
+        s.stripPrefix("bucket-").stripSuffix(".json").toInt
+      }.toSet
+  }
 
   def committedBuckets(path: String): Set[Int] = {
-    val dir = manifestDir(path)
-    if (!Files.exists(dir)) Set.empty
-    else {
-      val stream = Files.list(dir)
-      try stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
-          s.stripPrefix("bucket-").stripSuffix(".json").toInt
-        }.toSet
-      finally stream.close()
-    }
+    val spark = SparkSession.active
+    val (fs, root) = fsFor(spark, path)
+    committedBuckets(fs, root)
+  }
+
+  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Bucketed, idempotent, resumable write. Returns newly committed
@@ -48,9 +65,10 @@ object TableIO {
       metrics: Option[Metrics] = None): Seq[BucketManifest] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Files.createDirectories(manifestDir(path))
-    Files.createDirectories(dataDir(path))
-    val done = committedBuckets(path)
+    val (fs, root) = fsFor(spark, path)
+    fs.mkdirs(manifestDir(root))
+    fs.mkdirs(dataDir(root))
+    val done = committedBuckets(fs, root)
     val pending = (0 until buckets).filterNot(done.contains)
     if (pending.isEmpty) return Seq.empty
 
@@ -61,7 +79,7 @@ object TableIO {
       .withColumn("bucket", pmod(xxhash64($"doc_id"), lit(buckets)).cast("int"))
       .where($"bucket".isin(pending: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tmp = Paths.get(path, s"_tmp_$attemptId")
+    val tmp = new Path(root, s"_tmp_$attemptId")
     withBucket.write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(tmp.toString)
 
@@ -82,45 +100,45 @@ object TableIO {
 
     val committed = scala.collection.mutable.ArrayBuffer.empty[BucketManifest]
     for (b <- pending) {
-      val src = tmp.resolve(s"bucket=$b")
-      val dst = dataDir(path).resolve(s"bucket=$b")
-      if (Files.exists(src)) {
-        if (Files.exists(dst)) deleteRecursively(dst)
-        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-      } else Files.createDirectories(dst) // empty bucket still commits
+      val src = new Path(tmp, s"bucket=$b")
+      val dst = new Path(dataDir(root), s"bucket=$b")
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rename $src -> $dst failed")
+      } else fs.mkdirs(dst) // empty bucket still commits
       val m = stats.getOrElse(b,
         BucketManifest(b, 0L, 0L, "", "", 0L, attemptId))
-      Files.writeString(manifestDir(path).resolve(s"bucket-$b.json"),
+      writeString(fs, new Path(manifestDir(root), s"bucket-$b.json"),
         manifestJson(m))
       committed += m
       failAfterBuckets.foreach { k =>
         if (committed.length >= k && b != pending.last) {
-          deleteRecursively(tmp)
+          fs.delete(tmp, true)
           throw new InjectedFailure(s"injected failure after $k buckets")
         }
       }
     }
-    deleteRecursively(tmp)
-    val rootStream = Files.list(Paths.get(path))
+    fs.delete(tmp, true)
     val snapN =
-      try rootStream.iterator().asScala
-        .count(_.getFileName.toString.startsWith("_snapshot-"))
-      finally rootStream.close()
-    val all = committedBuckets(path).toSeq.sorted
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root).iterator
+        .count(_.getPath.getName.startsWith("_snapshot-"))
+    val all = committedBuckets(fs, root).toSeq.sorted
     // job metrics ride the snapshot (the Iceberg snapshot-summary analogue)
     val metricsJson = metrics.map { m =>
       s""","metrics":{"docs":${m.docs.value},"textSpans":${m.textSpans.value},""" +
         s""""mediaSpans":${m.mediaSpans.value},"spansChanged":${m.spansChanged.value},""" +
         s""""chars":${m.chars.value}}"""
     }.getOrElse("")
-    Files.writeString(Paths.get(path, s"_snapshot-$snapN.json"),
+    writeString(fs, new Path(root, s"_snapshot-$snapN.json"),
       s"""{"snapshot":$snapN,"attempt":"$attemptId","buckets":[${all.mkString(",")}]$metricsJson}""")
     committed.toSeq
   }
 
   def readDocs(spark: SparkSession, path: String): Dataset[Doc] = {
     import spark.implicits._
-    spark.read.parquet(dataDir(path).toString)
+    spark.read.parquet(new Path(new Path(path), "data").toString)
       .select("doc_id", "spans").as[Doc]
   }
 
@@ -128,12 +146,4 @@ object TableIO {
     s"""{"bucket":${m.bucket},"numDocs":${m.numDocs},"numSpans":${m.numSpans},""" +
       s""""minDocId":"${m.minDocId}","maxDocId":"${m.maxDocId}",""" +
       s""""checksum":${m.checksum},"attemptId":"${m.attemptId}"}"""
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.exists(p)) {
-      val stream = Files.walk(p)
-      try stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally stream.close()
-    }
-  }
 }
