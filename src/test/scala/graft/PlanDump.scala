@@ -65,6 +65,8 @@ object PlanDump extends App {
     "TF-IDF keyword extraction: ONE token explode feeds a persisted (doc_id, term) hash aggregate that BOTH the doc-length and the document-frequency sides re-read (InMemoryTableScan); the doc-term <-> df join carries no hint (df scales with vocabulary — AQE decides); the rank window is PARTITIONED by doc_id, never global.")
   dump("q_chunk_fixed", graft.queries.Queries.qChunkFixed(spark, sf),
     "Context-length chunking (64-token windows, stride 48): per-row Generate (posexplode) of O(len/stride) chunks — linear output, no shuffle except the presentation sort; token counts emitted inline so a downstream packer never re-tokenizes.")
+  dump("q_pack_sequences", graft.queries.Queries.qPackSequences(spark, sf),
+    "Sequence packing (next-fit, 256-token budget): chunk token counts derived ARITHMETICALLY (no chunk strings built), ONE hash exchange co-locates each doc's chunk stats + a partition-local sort, then mapPartitions packs with (partition, seq) ids — no global coordination, no range-sampling job.")
   dump("q_sample_stratified", graft.queries.Queries.qSampleStratified(spark, sf),
     "Deterministic stratified hash sampling: u(doc_id) < rate(source) decided per row with no shuffle and no state — the only Exchange is the presentation sort. Reproducible across runs and partitionings; upsizing a stratum's rate keeps all previously-sampled rows.")
   Files.writeString(Paths.get("/root/repo/PLANS.md"),
