@@ -130,7 +130,23 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val total = results.map(_._2).sum + corrSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"corrected_spans":$spans,"spans_per_sec":${spans / corrSec}%.1f,"flagship_reps":${arr(repSeries)},"flagship_spread":$spread%.2f,"cal_reps":${arr(calSeries)},"cal_spread":$calSpread%.2f}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"corrected_spans":$spans,"spans_per_sec":${spans / corrSec}%.1f,"flagship_reps":${arr(repSeries)},"flagship_spread":$spread%.2f,"cal_reps":${arr(calSeries)},"cal_spread":$calSpread%.2f}"""
+    println(json)
+    // machine-readable record: stdout passes through sbt's logger,
+    // which prefixes every line with "[info] " — a driver tail-scrape
+    // then has to strip it (BENCH_r0N.json "parsed": null). The same
+    // JSON goes verbatim to $SPARK_GRAFT_BENCH_OUT (default
+    // bench/bench_last.json under the repo cwd).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench/bench_last.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"bench: could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

@@ -37,7 +37,13 @@ object CliArgs {
           throw new IllegalArgumentException(s"unknown flag: $raw")
         k
       } else aliases.getOrElse(raw,
-        throw new IllegalArgumentException(s"unknown flag: $raw"))
+        // permissive/generic mode (known == null, the documented
+        // contract): an unaliased short flag is stored under its raw
+        // spelling; with a `known` set, unknown short flags error like
+        // unknown long flags (an accepted bogus key would also swallow
+        // its value argument)
+        if (known == null) raw
+        else throw new IllegalArgumentException(s"unknown flag: $raw"))
     var i = 0
     while (i < args.length) {
       val k0 = args(i)

@@ -176,12 +176,15 @@ object LmDecoder {
     * as an extra model input; here it SELECTS a per-context LM. */
   def contextFromIdentifier(identifier: String): Seq[Int] = {
     if (identifier == null || identifier.isEmpty) return Seq(0)
-    // lastOption: split of separator-only input ("/", "a/_") yields an
-    // empty array and .last would throw; a 10+-digit "year" would
-    // overflow toInt (Python's int() is unbounded) — both map to the
-    // no-context default instead of killing the executor task
-    val year = identifier.split('/').lastOption
-      .flatMap(_.split('_').lastOption).getOrElse("")
+    // split(sep, -1): Java's default split DROPS trailing empty tokens,
+    // so "grenzboten_1841/" or "1841_" would resolve to decade 185 —
+    // Python's split('/')[-1] / split('_')[-1] yields '' there and the
+    // reference falls back to context [0]; -1 preserves the trailing
+    // empty segment. A 10+-digit "year" would overflow toInt (Python's
+    // int() is unbounded) — maps to the no-context default instead of
+    // killing the executor task.
+    val year = identifier.split("/", -1).lastOption
+      .flatMap(_.split("_", -1).lastOption).getOrElse("")
     if (year.nonEmpty && year.length <= 9 && year.forall(_.isDigit))
       Seq(math.ceil(year.toInt / 10.0).toInt)
     else Seq(0)

@@ -100,19 +100,31 @@ object Oracles {
     """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
 
+  /** MinHash CTEs shared by qDedupMinhash and qDedupGroups: shingle
+    * md5-prefix mod P (the one dialect-specific step), then the 64
+    * affine row-mins and the 16 band folds, all emitted by MinHashDefs
+    * — identical SQL text to the Spark side. */
+  private val minhashCtes: String = {
+    val minCols = MinHashDefs.minAggSqls("h").mkString(",\n|    ")
+    val bandList = (0 until MinHashDefs.Bands).mkString("[", ",", "]")
+    s"""msh AS (
+       |  SELECT doc_id, (CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15)) AS BIGINT) % ${MinHashDefs.P}) AS h
+       |  FROM documents, LATERAL (SELECT unnest(range(1, length(text)-6)) AS i) u
+       |  WHERE length(text) >= 8
+       |), mmins AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM msh GROUP BY doc_id
+       |), msigs AS (
+       |  SELECT doc_id, b.band AS band, ${MinHashDefs.bandCaseDuckSql("b.band")} AS sig
+       |  FROM mmins, (SELECT unnest($bandList) AS band) b
+       |)""".stripMargin
+  }
+
   val qDedupMinhash: String =
-    """WITH sh AS (
-      |  SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 8)) AS h
-      |  FROM documents, LATERAL (SELECT unnest(range(1, length(text)-6)) AS i) u
-      |  WHERE length(text) >= 8
-      |), sigs AS (
-      |  SELECT b.band AS band, doc_id,
-      |    min(CAST(('0x' || substr(h, b.band * 8 + 1, 8)) AS BIGINT)) AS sig
-      |  FROM sh, (SELECT unnest([0,1,2,3]) AS band) b
-      |  GROUP BY b.band, doc_id
-      |)
-      |SELECT band, sig, count(*) AS n, min(doc_id) AS keeper
-      |FROM sigs GROUP BY band, sig ORDER BY band, sig""".stripMargin
+    s"""WITH $minhashCtes
+       |SELECT band, sig, count(*) AS n, min(doc_id) AS keeper
+       |FROM msigs GROUP BY band, sig ORDER BY band, sig""".stripMargin
 
   val qNgramJaccard: String =
     """WITH sh AS (
@@ -138,11 +150,24 @@ object Oracles {
       |ORDER BY ida, idb""".stripMargin
 
   /** Connected components over VERIFIED duplicate edges (exact-hash
-    * star edges + jaccard-confirmed pairs) via a recursive CTE:
-    * reach(id, r) is the transitive closure over the symmetric edge
-    * set; min(r) per id is the component canonical. */
+    * star edges + jaccard-confirmed pairs + agreement-verified minhash
+    * candidates) via a recursive CTE: reach(id, r) is the transitive
+    * closure over the symmetric edge set; min(r) per id is the
+    * component canonical. */
   val qDedupGroups: String =
-    """WITH RECURSIVE exg AS (
+    s"""WITH RECURSIVE $minhashCtes,
+      |mbuckets AS (
+      |  SELECT band, sig FROM msigs GROUP BY band, sig HAVING count(*) BETWEEN 2 AND 20
+      |), mcand AS (
+      |  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+      |  FROM msigs x JOIN mbuckets mb ON x.band = mb.band AND x.sig = mb.sig
+      |  JOIN msigs y ON y.band = mb.band AND y.sig = mb.sig AND x.doc_id < y.doc_id
+      |), mh_edges AS (
+      |  SELECT mcand.ida AS a, mcand.idb AS b FROM mcand
+      |  JOIN mmins ma ON mcand.ida = ma.doc_id
+      |  JOIN mmins mb2 ON mcand.idb = mb2.doc_id
+      |  WHERE ${MinHashDefs.agreementSql("ma", "mb2")} >= ${MinHashDefs.VerifyAgreement}
+      |), exg AS (""".stripMargin + """
       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m FROM documents
       |), ex_edges AS (
       |  SELECT m AS a, doc_id AS b FROM exg WHERE doc_id <> m
@@ -167,6 +192,7 @@ object Oracles {
       |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.2
       |), edges AS (
       |  SELECT a, b FROM ex_edges UNION SELECT a, b FROM jac_edges
+      |  UNION SELECT a, b FROM mh_edges
       |), sym AS (
       |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
       |), reach(id, r) AS (
@@ -369,17 +395,21 @@ object Oracles {
   }
 
   val qDedupEmbed: String = {
-    val sig = TextOps.lshSigDuckSql("emb", dim = 64)
+    val sig = TextOps.lshSigDuckSql("emb", dim = 64, bits = 32)
     s"""WITH sigs AS (
        |  SELECT vec_id, emb, $sig AS sig
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) t
        |), banded AS (
        |  SELECT vec_id, emb, b.band,
-       |    CASE WHEN b.band = 0 THEN sig % 256 ELSE sig // 256 END AS bval
-       |  FROM sigs, (SELECT unnest([0,1]) AS band) b
+       |    CAST((sig >> (8 * b.band)) & 255 AS INTEGER) AS bval
+       |  FROM sigs, (SELECT unnest([0,1,2,3]) AS band) b
+       |), buckets AS (
+       |  SELECT band, bval FROM banded GROUP BY band, bval HAVING count(*) BETWEEN 2 AND 20
+       |), kept AS (
+       |  SELECT banded.* FROM banded JOIN buckets USING (band, bval)
        |), pairs AS (
        |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb, a.emb AS ea, b.emb AS eb
-       |  FROM banded a JOIN banded b
+       |  FROM kept a JOIN kept b
        |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
        |)
        |SELECT ida, idb,

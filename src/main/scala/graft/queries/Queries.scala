@@ -73,6 +73,11 @@ object Queries {
     Option(v)
   }
   def clearObserved(name: String): Unit = observed.remove(name)
+  /** Non-blocking read for ABSENCE checks ("this metric was NOT
+    * recorded") — `lastObserved`'s polling default would block its full
+    * timeout per call when the metric is legitimately absent. */
+  def peekObserved(name: String): Option[Map[String, Any]] =
+    Option(observed.get(name))
   private val obsSessions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
   private def ensureObserveListener(s: SparkSession): Unit =
@@ -145,17 +150,20 @@ object Queries {
     * reference pruning rule (abs<=3 && rel<2e-6; total BEFORE pruning —
     * lib/helper.py:117-136). The AGGREGATED words dict (vocabulary-sized,
     * not corpus-sized) is persisted so the corpus tokenize+agg runs
-    * ONCE: both consumers — the `total` scalar and the output
-    * projection — read the cache. */
+    * ONCE: both consumers — the `total` aggregate and the output
+    * projection — read the cache. The total stays INSIDE the plan as a
+    * broadcast 1-row cross join (the qTfidfTop N pattern) — an eager
+    * collect here would run a Spark job at builder time, breaking the
+    * battery's builder-is-lazy invariant. */
   def qLexiconWeights(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = registerCache(
       lexiconCountsRaw(s, dir).where($"category" === Category.Words)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val total = words.agg(sum($"freq")).as[Long].collect()(0)
-    words.select($"token",
-      round(-log($"freq" / lit(total.toDouble)), 6).as("weight"))
-      .where(!($"freq" <= 3 && $"freq" / lit(total.toDouble) < 2e-6))
+    val totalDf = words.agg(sum($"freq").cast("double").as("total"))
+    words.crossJoin(broadcast(totalDf))
+      .where(!($"freq" <= 3 && $"freq" / $"total" < 2e-6))
+      .select($"token", round(-log($"freq" / $"total"), 6).as("weight"))
       .orderBy($"token")
   }
 
@@ -350,46 +358,56 @@ object Queries {
       .orderBy($"h")
   }
 
-  /** MinHash/LSH: 4 bands, signature = min over shingles of band b's
-    * 32-bit slice of md5(shingle) (hex chars [8b+1, 8b+8]) as a BIGINT;
-    * bucket sizes per (band, sig). Deterministic and identical in Spark
-    * and DuckDB.
+  /** MinHash, b=16 bands x r=4 rows over 64 affine permutations
+    * (MinHashDefs): per-doc row-mins m0..m63 in ONE hash agg — 64 long
+    * cells per doc, map-side partial+final HashAggregate — then the 16
+    * band values fold 4 row-mins each (stack to long form; vs 64x
+    * explode+groupBy — 64 shuffles). Deterministic and identical in
+    * Spark and DuckDB (MinHashDefs emits the same SQL to both).
     *
-    * ONE md5 per shingle — the 4 band hashes are disjoint slices of the
-    * same 128-bit digest (the earlier md5(sh || '#b') form hashed every
-    * shingle 4x and md5 dominated the query: 216M digests at sf0.1).
-    * 32-bit band values keep min-collision probability at ~2^-32 per
-    * doc-pair-band. Folds to BIGINT BEFORE the min: min over strings
-    * forces SortAggregate; min over a fixed-width numeric keeps the
-    * partial+final HashAggregate. The fold is the native HexPrefix64
-    * expression (built-in `conv` measured ~4x slower). */
-  /** Per-doc (band, sig) MinHash rows — the shared core of
-    * qDedupMinhash (bucket summary) and qDedupGroups (candidate
-    * edges). */
-  private def minhashBandSigs(s: SparkSession, dir: String): DataFrame = {
+    * ONE md5 per shingle — all 64 permutations are affine maps of the
+    * same 60-bit digest prefix (a per-permutation md5 would hash every
+    * shingle 64x and dominate the query). Mins over fixed-width
+    * BIGINTs: min over strings would force SortAggregate; numerics
+    * keep the partial+final HashAggregate. The prefix fold is the
+    * native HexPrefix64 expression (built-in `conv` measured ~4x
+    * slower).
+    *
+    * char_ngrams: one linear pass per row (the transform+substring SQL
+    * form re-locates char offsets from the string start per element —
+    * O(len^2) per doc). */
+  /** Per-doc row-min table (doc_id, m0..m63). `cache = true` when a
+    * caller consumes it more than once (qDedupGroups: band projection +
+    * candidate verification); qDedupMinhash reads it exactly once and
+    * skips the persist. */
+  private[queries] def minhashMins(s: SparkSession, dir: String,
+      cache: Boolean = false): DataFrame = {
     import s.implicits._
     import graft.functions.HexPrefix64.hexPrefix64
-    // single scan + single shuffle: all 4 band mins in one hash agg,
-    // then stack to long form (vs 4x explode+groupBy — 4 shuffles)
-    def bandSig(b: Int) =
-      min(hexPrefix64(substring($"h", b * 8 + 1, 8))).as(s"s$b")
-    // char_ngrams: one linear pass per row (the transform+substring SQL
-    // form re-locates char offsets from the string start per element —
-    // O(len^2) per doc)
     val sh = docsDf(s, dir).where(length($"text") >= 8)
       .select($"doc_id",
         explode(graft.functions.CharNgrams.charNgrams($"text", 8, 8)).as("sh"))
-      .select($"doc_id", md5($"sh").as("h"))
-    sh.groupBy($"doc_id")
-      .agg(bandSig(0), bandSig(1), bandSig(2), bandSig(3))
-      .select($"doc_id",
-        expr("stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (band, sig)"))
+      .select($"doc_id", (hexPrefix64(md5($"sh")) % MinHashDefs.P).as("h"))
+    val aggs = MinHashDefs.minAggSqls("h")
+    val mins = sh.groupBy($"doc_id")
+      .agg(expr(aggs.head), aggs.tail.map(expr): _*)
+    if (cache)
+      registerCache(mins.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else mins
+  }
+
+  /** Per-doc (band, sig) rows — the shared core of qDedupMinhash
+    * (bucket summary) and qDedupGroups (candidate edges). */
+  private[queries] def minhashBandSigs(mins: DataFrame): DataFrame = {
+    import mins.sparkSession.implicits._
+    mins.select($"doc_id", expr(MinHashDefs.stackSparkSql))
       .select($"doc_id", $"band", $"sig")
   }
 
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    minhashBandSigs(s, dir)
+    minhashBandSigs(minhashMins(s, dir))
       .groupBy($"band", $"sig")
       .agg(count(lit(1)).as("n"), min($"doc_id").as("keeper"))
       .orderBy($"band", $"sig")
@@ -425,31 +443,47 @@ object Queries {
     // split ONCE in a projection before the lambda: `split(text)` inside
     // the transform body is re-evaluated per element (O(words^2) per
     // doc) — pre-splitting measured 10x on the shingle aggregate
-    val docSets = docsDf(s, dir)
+    //
+    // HOT-KEY BOUND (the round-4 scale-killer fix): the per-shingle doc
+    // list is only collected for shingles that SURVIVE the df-cut. The
+    // distinct (shingle, doc) rows are repartitioned ONCE by shingle and
+    // persisted; the df count, the cut, the join-back and the bounded
+    // collect_set all ride that partitioning (zero further shuffles on
+    // the shingle axis — the count agg, the join and the set agg are all
+    // keyed on shh). A boilerplate trigram present in every document now
+    // costs one long-sized count cell, never a corpus-sized aggregation
+    // buffer: collect_set only ever sees groups with <= 20 rows.
+    val docShingle = docsDf(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", explode(expr(
         """transform(sequence(1, greatest(size(w) - 2, 1)),
              i -> concat_ws(' ', slice(w, i, 3)))""")).as("sh"))
       .select($"doc_id", hexPrefix64(md5($"sh")).as("shh"))
-      .groupBy($"shh")
-      .agg(collect_set($"doc_id").as("docs"))
+      .repartition($"shh")
+      .dropDuplicates("shh", "doc_id") // partition-local: hash(shh) co-locates
     registerCache( // unpersisted via Queries.releaseCaches() after materialization
-      docSets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sizes = docSets
-      .select(explode($"docs").as("doc_id"))
+      docShingle.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = docShingle
       .groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    // df-cut + pair generation WITHOUT a self-join: docs-per-shingle sets
-    // are bounded (<=20), explode the <=C(20,2) pairs per shingle, count
-    // pair co-occurrences. Shingles with df>20 are dropped (standard
-    // near-dup df-cut); the drop is SURFACED, not silent — the observe
-    // below records how many shingles the cut removed (lastObserved
-    // "jaccard_dfcut"), riding the cached aggregate with no extra job.
+    // df-cut BEFORE any doc-list materialization; the drop is SURFACED,
+    // not silent — the observe records how many shingles the cut removed
+    // (lastObserved "jaccard_dfcut"), riding the count aggregate with no
+    // extra job.
     ensureObserveListener(s)
-    val pairs = docSets
+    val keep = docShingle
+      .groupBy($"shh").agg(count(lit(1)).as("df"))
       .observe("jaccard_dfcut",
-        count(when(size($"docs") > 20, true)).as("dropped_shingles"),
+        count(when($"df" > 20, true)).as("dropped_shingles"),
         count(lit(1)).as("total_shingles"))
-      .where(size($"docs").between(2, 20))
+      .where($"df".between(2, 20))
+      .select($"shh")
+    // pair generation WITHOUT a self-join: surviving docs-per-shingle
+    // sets are bounded (<=20); explode the <=C(20,2) pairs per shingle,
+    // count pair co-occurrences.
+    val pairs = docShingle
+      .join(keep, "shh") // same shh partitioning both sides: no exchange
+      .groupBy($"shh")
+      .agg(collect_set($"doc_id").as("docs")) // bounded: df-cut upstream
       .select(explode(expr(
         """flatten(transform(array_sort(docs), (a, i) ->
              transform(slice(array_sort(docs), i + 2, size(docs)), b ->
@@ -477,11 +511,18 @@ object Queries {
     * so a boilerplate page duplicated a million times costs a window
     * min, not a giant collect_set) UNION word-trigram Jaccard pairs
     * >= 0.2. The jaccard pairs already embody LSH-then-verify: bucket
-    * candidates (df-cut <= 20) confirmed by exact similarity. RAW
-    * MinHash band collisions are deliberately NOT edges — unverified
-    * band buckets chain transitively (measured at sf0.01: 486/500 docs
-    * collapse into ONE component), which turns the verdict into noise;
-    * a band collision is a candidate to verify, not evidence.
+    * candidates (df-cut <= 20) confirmed by exact similarity — UNION
+    * verified MinHash candidates: b=16 x r=4 band-bucket collisions
+    * (bucket df-cut <= 20, the family standard) confirmed by signature
+    * agreement >= 32/64 permutations (estimated Jaccard >= 0.5). RAW
+    * band collisions are deliberately NOT edges — unverified buckets
+    * chain transitively (the round-4 r=1 signature measured 486/500
+    * docs collapsing into ONE component), which turns the verdict into
+    * noise; a band collision is a candidate to verify, not evidence.
+    * With r=4 the bucket stage is selective enough to admit candidates
+    * and the agreement check is the cheap verification (64 long
+    * comparisons per pair against the cached row-min table — no
+    * re-shingling).
     *
     * Components resolve by iterative min-label propagation (per round:
     * one shuffle join + one hash agg + ONE collected scalar for the
@@ -501,8 +542,35 @@ object Queries {
       .select($"m".as("a"), $"doc_id".as("b"))
     val jacEdges = ngramJaccardScored(s, dir)
       .select($"ida".as("a"), $"idb".as("b"))
+    // verified minhash candidates (see Scaladoc): bucket df-cut BEFORE
+    // any doc-list materialization (the hot-bucket bound), then
+    // signature-agreement verification against the cached row-min table
+    val mins = minhashMins(s, dir, cache = true)
+    val sigs = registerCache(minhashBandSigs(mins)
+      .repartition($"band", $"sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val mhKeep = sigs
+      .groupBy($"band", $"sig").agg(count(lit(1)).as("n"))
+      .where($"n".between(2, 20))
+      .select($"band", $"sig")
+    val mhCands = sigs
+      .join(mhKeep, Seq("band", "sig")) // same partitioning: no exchange
+      .groupBy($"band", $"sig")
+      .agg(collect_set($"doc_id").as("docs")) // bounded <= 20
+      .select(explode(expr(
+        """flatten(transform(array_sort(docs), (a, i) ->
+             transform(slice(array_sort(docs), i + 2, size(docs)), b ->
+               struct(a AS ida, b AS idb))))""")).as("p"))
+      .select($"p.ida".as("ida"), $"p.idb".as("idb"))
+      .distinct()
+    val mhEdges = mhCands
+      .join(mins.as("ma"), $"ida" === $"ma.doc_id")
+      .join(mins.as("mb"), $"idb" === $"mb.doc_id")
+      .where(expr(MinHashDefs.agreementSql("ma", "mb"))
+        >= MinHashDefs.VerifyAgreement)
+      .select($"ida".as("a"), $"idb".as("b"))
     val edges = registerCache(
-      exEdges.union(jacEdges).distinct()
+      exEdges.union(jacEdges).union(mhEdges).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ids = docsDf(s, dir).select($"doc_id".as("id"))
     val (lab, _) = connectedComponents(ids, edges)
@@ -580,18 +648,37 @@ object Queries {
     * near-dup pairs (cross-method agreement checked in the spec). */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = docsDf(s, dir)
+    // HOT-BUCKET BOUND (same fix as qNgramJaccard): a degenerate band
+    // value (near-empty docs all hash to the same signature) would
+    // previously materialize a corpus-sized collect_set buffer before
+    // the df-cut saw it. Banded rows are repartitioned ONCE by
+    // (band, bval) and persisted; bucket counts, the cut, the join-back
+    // and the now-bounded collect_set all ride that partitioning. The
+    // drop is surfaced via observe ("simhash_dfcut" — silent-cap parity
+    // with jaccard).
+    val banded = docsDf(s, dir)
       .select($"doc_id",
         graft.functions.SimHash64.simhash64($"text").as("sh"))
-    val banded = sigs.select($"doc_id", $"sh",
-      expr("""stack(4, 0, CAST(shiftright(sh,  0) & 65535 AS INT),
+      .select($"doc_id", $"sh",
+        expr("""stack(4, 0, CAST(shiftright(sh,  0) & 65535 AS INT),
                       1, CAST(shiftright(sh, 16) & 65535 AS INT),
                       2, CAST(shiftright(sh, 32) & 65535 AS INT),
                       3, CAST(shiftright(sh, 48) & 65535 AS INT)) AS (band, bval)"""))
+      .repartition($"band", $"bval")
+    registerCache(
+      banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    ensureObserveListener(s)
+    val keep = banded
+      .groupBy($"band", $"bval").agg(count(lit(1)).as("n"))
+      .observe("simhash_dfcut",
+        count(when($"n" > 20, true)).as("dropped_buckets"),
+        count(lit(1)).as("total_buckets"))
+      .where($"n".between(2, 20))
+      .select($"band", $"bval")
     val pairs = banded
+      .join(keep, Seq("band", "bval")) // same partitioning: no exchange
       .groupBy($"band", $"bval")
-      .agg(collect_set(struct($"doc_id", $"sh")).as("docs"))
-      .where(size($"docs").between(2, 20))
+      .agg(collect_set(struct($"doc_id", $"sh")).as("docs")) // bounded <= 20
       .select(explode(expr(
         """flatten(transform(array_sort(docs), (a, i) ->
              transform(slice(array_sort(docs), i + 2, size(docs)), b ->
@@ -730,23 +817,45 @@ object Queries {
   }
 
   /** Embedding-cosine near-dup (the dedup family's scale path over
-    * vectors): 16-bit LSH signatures split into two 8-bit bands; only
-    * pairs colliding in some band are scored (sf0.01: 1,079 candidates
-    * vs 124,750 all-pairs — a 115x cut; at 100 TB the band join is the
-    * one shuffle and adversarial bucket sizes would get a df-cut like
-    * qNgramJaccard's). Output: top-20 candidate pairs by exact cosine
-    * (the synthetic corpus has no true near-dups, so a threshold form
-    * would be vacuous; the ranked form exercises the same plan). */
+    * vectors): 32-bit LSH signatures split into four 8-bit bands; only
+    * pairs colliding in some SURVIVING band bucket are scored. The
+    * round-4 hazard — the banded self-join is quadratic in bucket size,
+    * and bucket sizes grow linearly with the corpus — is closed by the
+    * family's standard pre-count df-cut: bucket counts first, keep
+    * 2..20, join back, THEN self-join (bounded <= C(20,2) pairs per
+    * bucket). The drop is surfaced via observe ("embed_dfcut"). The
+    * banded rows are repartitioned ONCE by (band, bval) and persisted;
+    * the count, cut, join-back and self-join all ride that
+    * partitioning. 8-bit bands (256 buckets) fit the fixture corpus; at
+    * larger corpora the band width widens (the same plane family
+    * extends — lshPlanes(dim, bits)) and the cut bounds the blowup
+    * regardless. Output: top-20 candidate pairs by exact cosine (the
+    * synthetic corpus has no true near-dups, so a threshold form would
+    * be vacuous; the ranked form exercises the same plan). */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigSql = TextOps.lshSigSparkSql("embedding", dim = 64)
+    val sigSql = TextOps.lshSigSparkSql("embedding", dim = 64, bits = 32)
     val banded = s.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id", $"embedding", expr(sigSql).as("sig"))
       .select($"vec_id", $"embedding",
-        expr("""stack(2, 0, CAST(sig % 256 AS INT),
-                         1, CAST(sig div 256 AS INT)) AS (band, bval)"""))
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
+        expr("""stack(4, 0, CAST(shiftright(sig,  0) & 255 AS INT),
+                        1, CAST(shiftright(sig,  8) & 255 AS INT),
+                        2, CAST(shiftright(sig, 16) & 255 AS INT),
+                        3, CAST(shiftright(sig, 24) & 255 AS INT)) AS (band, bval)"""))
+      .repartition($"band", $"bval")
+    registerCache(
+      banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    ensureObserveListener(s)
+    val keep = banded
+      .groupBy($"band", $"bval").agg(count(lit(1)).as("n"))
+      .observe("embed_dfcut",
+        count(when($"n" > 20, true)).as("dropped_buckets"),
+        count(lit(1)).as("total_buckets"))
+      .where($"n".between(2, 20))
+      .select($"band", $"bval")
+    val kept = banded.join(keep, Seq("band", "bval"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
         $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("ida"), $"b.vec_id".as("idb"),

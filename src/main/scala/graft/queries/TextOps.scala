@@ -47,10 +47,12 @@ object TextOps {
     if (((x ^ (x >>> 31)) & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** The 16 hyperplanes as literal sign vectors (for embedding SQL
-    * expressions identically in Spark and the DuckDB oracle). */
-  def lshPlanes(dim: Int): IndexedSeq[Array[Double]] =
-    (0 until 16).map(h => Array.tabulate(dim)(d => lshPlaneSign(h, d)))
+  /** The hyperplanes as literal sign vectors (for embedding SQL
+    * expressions identically in Spark and the DuckDB oracle). 16 bits
+    * for the ANN query signature; qDedupEmbed widens to 32 (the same
+    * plane family — plane h is identical at every width). */
+  def lshPlanes(dim: Int, bits: Int = 16): IndexedSeq[Array[Double]] =
+    (0 until bits).map(h => Array.tabulate(dim)(d => lshPlaneSign(h, d)))
 
   /** 16-bit random-hyperplane LSH signature. */
   def lshSignature(v: Array[Float]): Int = {
@@ -134,19 +136,19 @@ object TextOps {
   /** 16-bit LSH signature of an array column, as a SQL expression over
     * literal hyperplane sign vectors (Spark dialect: zip_with/aggregate).
     * Bit h = (dot(embedding, plane_h) > 0) — identical to lshSignature. */
-  def lshSigSparkSql(col: String, dim: Int): String =
-    lshPlanes(dim).zipWithIndex.map { case (p, h) =>
+  def lshSigSparkSql(col: String, dim: Int, bits: Int = 16): String =
+    lshPlanes(dim, bits).zipWithIndex.map { case (p, h) =>
       val lit = p.mkString("array(", ",", ")")
       s"""(CASE WHEN aggregate(zip_with($col, slice($lit, 1, size($col)),
          |(x, p) -> CAST(x AS DOUBLE) * p), 0D, (acc, v) -> acc + v) > 0
-         |THEN ${1 << h} ELSE 0 END)""".stripMargin.replace('\n', ' ')
+         |THEN ${1L << h}L ELSE 0L END)""".stripMargin.replace('\n', ' ')
     }.mkString("(", " + ", ")")
 
   /** Same signature in DuckDB dialect (list_dot_product over literal
     * sliced plane lists). */
-  def lshSigDuckSql(col: String, dim: Int): String =
-    lshPlanes(dim).zipWithIndex.map { case (p, h) =>
+  def lshSigDuckSql(col: String, dim: Int, bits: Int = 16): String =
+    lshPlanes(dim, bits).zipWithIndex.map { case (p, h) =>
       val lit = p.mkString("[", ",", "]")
-      s"(CASE WHEN list_dot_product($col, ($lit)[1:len($col)]) > 0 THEN ${1 << h} ELSE 0 END)"
+      s"(CASE WHEN list_dot_product($col, ($lit)[1:len($col)]) > 0 THEN CAST(${1L << h} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 }

@@ -29,10 +29,18 @@ class CliSpec extends AnyFunSuite {
       == Map("verbose" -> "true", "processes" -> "2"))
     // single-dash -k=value resolves the alias on the pre-'=' part
     assert(CliArgs.parse(Array("-P=2.5"), aliases)("pruning-weight") == "2.5")
-    // unknown single-dash '='-bearing and bare-dash tokens are errors,
-    // not silently-dropped bogus keys
+    // permissive/generic mode (no `known` set): an unaliased short flag
+    // is stored under its raw spelling in both forms — the documented
+    // contract for generic callers
+    assert(CliArgs.parse(Array("-z=1"), aliases) == Map("-z" -> "1"))
+    assert(CliArgs.parse(Array("-z", "1"), aliases) == Map("-z" -> "1"))
+    // with a `known` set (the CLI mains), unknown short flags error in
+    // every spelling — an accepted bogus key would swallow its value
     intercept[IllegalArgumentException] {
-      CliArgs.parse(Array("-z=1"), aliases)
+      CliArgs.parse(Array("-z=1"), aliases, known = Set("pruning-weight"))
+    }
+    intercept[IllegalArgumentException] {
+      CliArgs.parse(Array("-z", "1"), aliases, known = Set("pruning-weight"))
     }
     intercept[IllegalArgumentException] {
       CliArgs.parse(Array("-"), aliases)

@@ -74,11 +74,14 @@ class QueriesSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val rows = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"),
-        expr(TextOps.lshSigSparkSql("embedding", dim = 64)).as("sig"))
-      .as[(Long, Array[Float], Int)].collect()
+        expr(TextOps.lshSigSparkSql("embedding", dim = 64)).as("sig"),
+        expr(TextOps.lshSigSparkSql("embedding", dim = 64, bits = 32)).as("sig32"))
+      .as[(Long, Array[Float], Long, Long)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (id, v, sig) =>
-      assert(sig == TextOps.lshSignature(v), s"vec $id")
+    rows.foreach { case (id, v, sig, sig32) =>
+      assert(sig == TextOps.lshSignature(v).toLong, s"vec $id")
+      // the 32-bit family extends the 16-bit one: low 16 bits agree
+      assert((sig32 & 0xffffL) == sig, s"vec $id wide-signature prefix")
     }
   }
 
@@ -209,6 +212,117 @@ class QueriesSpec extends AnyFunSuite {
     // log-bounded; plain propagation would need 127 rounds
     assert(rounds <= math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 4,
       s"rounds=$rounds not logarithmic for diameter ${n - 1}")
+  }
+
+  test("jaccard hot-shingle bound: corpus-frequent shingles are cut before any doc-list materialization") {
+    import spark.implicits._
+    // 30 docs share a boilerplate prefix (its trigrams have df=30 > 20
+    // — the round-4 scale-killer shape); only one true near-dup pair
+    // shares RARE trigrams. The pair must be found, no pair may arise
+    // from the boilerplate, and the cut must be observed.
+    val boiler = "all rights reserved by the publishing house of the imperial court printers"
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"$boiler unique tail number $i with extra differing content token$i")) ++
+      Seq((100L, "the rare pair shares these exact words in the very same order for trigrams one"),
+        (101L, "the rare pair shares these exact words in the very same order for trigrams two"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    Queries.clearObserved("jaccard_dfcut")
+    val pairs = Queries.qNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Queries.releaseCaches()
+    assert(pairs == Seq((100L, 101L)),
+      s"boilerplate must not chain docs into pairs: $pairs")
+    val m = Queries.lastObserved("jaccard_dfcut")
+    assert(m.isDefined && m.get("dropped_shingles").asInstanceOf[Long] > 0,
+      s"hot-shingle drop must be observed: $m")
+    // plan shape: the count df-cut sits UPSTREAM of collect_set — the
+    // only aggregate allowed to see doc lists is fed by the filtered
+    // join, so a corpus-frequent shingle never materializes a
+    // corpus-sized buffer
+    val plan = Queries.qNgramJaccard(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    Queries.releaseCaches()
+    val collectIdx = plan.indexOf("collect_set")
+    assert(collectIdx >= 0, plan)
+    assert(plan.indexOf("count(1)") >= 0, plan)
+    // the collect_set aggregate's subtree (text AFTER its line in the
+    // indented tree) must contain the df-cut join
+    assert(plan.substring(collectIdx).contains("Join"),
+      s"collect_set must consume the df-cut join, not the raw shingles:\n$plan")
+  }
+
+  test("minhash b x r banding admits a near-dup pair, rejects a far pair; agreement verifies") {
+    import spark.implicits._
+    val base = "the grand duchy archive preserves thousands of handwritten letters from the eighteenth century describing trade routes harvests and township disputes in careful regular script"
+    val near = base.replace("township", "village")
+    val far = "completely different content about catalyst optimizer rules and distributed shuffle hash aggregation strategies nothing shared with archives whatsoever in any single shingle"
+    val dir = java.nio.file.Files.createTempDirectory("graft-minhash").toString
+    Seq((0L, base), (1L, near), (2L, far)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Queries.minhashMins(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to MinHashDefs.NumPerms).map(r.getLong)).toMap
+    def agree(a: Long, b: Long): Int =
+      rows(a).zip(rows(b)).count { case (x, y) => x == y }
+    // signature agreement estimates Jaccard: the near pair passes the
+    // verification threshold, the far pair is nowhere close
+    assert(agree(0L, 1L) >= MinHashDefs.VerifyAgreement,
+      s"near-pair agreement ${agree(0L, 1L)} < ${MinHashDefs.VerifyAgreement}")
+    assert(agree(0L, 2L) < MinHashDefs.VerifyAgreement / 2,
+      s"far-pair agreement ${agree(0L, 2L)} unexpectedly high")
+    // band collision (r=4 rows per band): near pair shares at least one
+    // of the 16 band values; the far pair shares none
+    val sigs = Queries.minhashBandSigs(Queries.minhashMins(spark, dir))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet
+      }
+    assert((sigs(0L) intersect sigs(1L)).nonEmpty, "near pair must collide in some band")
+    assert((sigs(0L) intersect sigs(2L)).isEmpty, "far pair must not collide")
+    // end-to-end: group resolution (minhash candidates enabled) merges
+    // the near pair and leaves the far doc alone
+    val groups = Queries.qDedupGroups(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Queries.releaseCaches()
+    assert(groups(0L) == groups(1L), s"near pair not grouped: $groups")
+    assert(groups(2L) != groups(0L), s"far doc wrongly grouped: $groups")
+  }
+
+  test("dedup df-cut drops are observed for simhash and embed (parity with jaccard)") {
+    Queries.clearObserved("simhash_dfcut")
+    Queries.clearObserved("embed_dfcut")
+    Queries.qDedupSimhash(spark, sf).collect()
+    Queries.releaseCaches()
+    Queries.qDedupEmbed(spark, sf).collect()
+    Queries.releaseCaches()
+    for (name <- Seq("simhash_dfcut", "embed_dfcut")) {
+      val m = Queries.lastObserved(name)
+      assert(m.isDefined, s"observe metric $name not recorded")
+      val total = m.get("total_buckets").asInstanceOf[Long]
+      val dropped = m.get("dropped_buckets").asInstanceOf[Long]
+      assert(total > 0 && dropped >= 0 && dropped <= total, s"$name: $m")
+    }
+    // peekObserved: the non-blocking absence probe returns immediately
+    val t0 = System.nanoTime()
+    assert(Queries.peekObserved("never_recorded_metric").isEmpty)
+    assert((System.nanoTime() - t0) / 1e6 < 500, "peek must not poll")
+  }
+
+  test("ann recall gate: LSH and IVF top-10 recall vs brute force at measured floors") {
+    // pins PRUNING QUALITY, not just equality-to-oracle (the oracles
+    // prune identically, so a green oracle alone wouldn't catch a
+    // recall regression from e.g. a broken signature or probe pick).
+    // Floors = values measured at spec-pin time (sf0.001: lsh 5/10,
+    // ivf 7/10; sf0.01: lsh 5/10, ivf 9/10) — deterministic, so any
+    // drop is a real change.
+    val brute = Queries.qAnnCosine(spark, sf).collect().map(_.getLong(0)).toSet
+    val lsh = Queries.qAnnLsh(spark, sf).collect().map(_.getLong(0)).toSet
+    val ivf = Queries.qAnnIvf(spark, sf).collect().map(_.getLong(0)).toSet
+    Queries.releaseCaches()
+    assert(brute.size == 10)
+    assert((brute & lsh).size >= 5, s"LSH recall@10 dropped: ${(brute & lsh).size}/10")
+    assert((brute & ivf).size >= 7, s"IVF recall@10 dropped: ${(brute & ivf).size}/10")
   }
 
   test("jaccard df-cut drop count is observed, not silent") {
