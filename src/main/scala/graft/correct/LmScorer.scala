@@ -26,8 +26,8 @@ trait LmScorer extends Serializable {
 
 /** Add-one-smoothed character n-gram LM trained on GT lines. State is
   * the last (n-1) chars, carried across spans within a document. */
-final class CharNgramLm(val n: Int, counts: Map[String, Long],
-    contextCounts: Map[String, Long], vocabSize: Int) extends LmScorer {
+final class CharNgramLm(val n: Int, val counts: Map[String, Long],
+    val contextCounts: Map[String, Long], val vocabSize: Int) extends LmScorer {
   type State = String
   def initialState: String = ""
 
@@ -53,20 +53,51 @@ final class CharNgramLm(val n: Int, counts: Map[String, Long],
 }
 
 object CharNgramLm {
+  /** Per-line (ctx+char) key emission — the ONE definition both the
+    * local fold and the distributed aggregation count, so
+    * trainSpark == train by construction. */
+  private[correct] def lineKeys(line: String, n: Int): Iterator[String] = {
+    var ctx = ""
+    line.iterator.map { c =>
+      val key = ctx + c
+      ctx = key.takeRight(n - 1)
+      key
+    }
+  }
+
   def train(lines: Iterable[String], n: Int = 4): CharNgramLm = {
     val counts = mutable.HashMap.empty[String, Long]
-    val ctxCounts = mutable.HashMap.empty[String, Long]
-    val vocab = mutable.HashSet.empty[Char]
-    lines.foreach { line =>
-      var ctx = ""
-      line.foreach { c =>
-        vocab += c
-        counts(ctx + c) = counts.getOrElse(ctx + c, 0L) + 1L
-        ctxCounts(ctx) = ctxCounts.getOrElse(ctx, 0L) + 1L
-        ctx = (ctx + c).takeRight(n - 1)
-      }
-    }
-    new CharNgramLm(n, counts.toMap, ctxCounts.toMap, math.max(vocab.size, 1))
+    lines.foreach(line => lineKeys(line, n).foreach { k =>
+      counts(k) = counts.getOrElse(k, 0L) + 1L
+    })
+    fromNgramCounts(n, counts.toMap)
+  }
+
+  /** Distributed training (the 100-TB shape — the same trainSpark
+    * discipline as CompiledModel.trainSpark): ONE groupBy-count over
+    * the per-char (context+char) keys of every GT line; only the
+    * aggregated n-gram dict — vocabulary-sized (distinct character
+    * n-grams), not corpus-sized — reaches the driver. Context counts
+    * and the character vocabulary derive from it locally: every
+    * emission increments counts(ctx+c) and ctxCounts(ctx) together, so
+    * ctxCounts(ctx) = sum over c of counts(ctx+c), and the vocab is
+    * the set of last chars of the keys. */
+  def trainSpark(s: org.apache.spark.sql.SparkSession,
+      lines: org.apache.spark.sql.Dataset[String], n: Int = 4): CharNgramLm = {
+    import s.implicits._
+    val grams = lines.flatMap(lineKeys(_, n))
+      .groupBy("value").count()
+      .as[(String, Long)].collect() // bounded: distinct n-grams
+    fromNgramCounts(n, grams.toMap)
+  }
+
+  /** Derive context counts + vocab from the n-gram dict (see
+    * trainSpark): shared by both training paths. */
+  private def fromNgramCounts(n: Int, counts: Map[String, Long]): CharNgramLm = {
+    val ctxCounts = counts.toSeq
+      .groupMapReduce { case (k, _) => k.substring(0, k.length - 1) }(_._2)(_ + _)
+    val vocab = counts.keysIterator.map(_.last).toSet
+    new CharNgramLm(n, counts, ctxCounts, math.max(vocab.size, 1))
   }
 }
 

@@ -221,20 +221,50 @@ object PageXml {
     // sees). A line with word-level-only annotation gets its equiv
     // filled in with the read path's exact join semantics.
     val regions = doc.getElementsByTagNameNS("*", "TextRegion")
-    (0 until regions.getLength).map(regions.item(_).asInstanceOf[Element])
-      .foreach { region =>
-        val lines = children(region, "TextLine")
-        if (lines.nonEmpty && lines.exists(touched.contains)) {
-          val lineTexts = lines.map { l =>
-            firstEquivText(l).getOrElse {
-              val t = children(l, "Word").flatMap(firstEquivText).mkString(" ")
-              setEquivText(doc, l, t)
-              t
-            }
+    val regionEls =
+      (0 until regions.getLength).map(regions.item(_).asInstanceOf[Element])
+    val touchedRegions = regionEls.filter { region =>
+      val lines = children(region, "TextLine")
+      if (lines.nonEmpty && lines.exists(touched.contains)) {
+        val lineTexts = lines.map { l =>
+          firstEquivText(l).getOrElse {
+            val t = children(l, "Word").flatMap(firstEquivText).mkString(" ")
+            setEquivText(doc, l, t)
+            t
           }
-          setEquivText(doc, region, lineTexts.mkString("\n"))
         }
-      }
+        setEquivText(doc, region, lineTexts.mkString("\n"))
+        true
+      } else false
+    }
+    // region -> page concatenation for multi-region documents: the same
+    // first-TextEquiv join rules one level up (the reference's fold,
+    // decode.py:279-316, stops at region — its PAGE bindings carry no
+    // page TextEquiv; ours completes G9 at every granularity for the
+    // interleaved-document table). Untouched regions contribute an
+    // EXISTING equiv verbatim (refold semantics as for lines); regions
+    // with no equiv at all contribute '' like the reference's
+    // `else u''` arms.
+    if (touchedRegions.nonEmpty) {
+      val pages = doc.getElementsByTagNameNS("*", "Page")
+      (0 until pages.getLength).map(pages.item(_).asInstanceOf[Element])
+        .foreach { page =>
+          val pageRegions = regionEls.filter(r => isAncestor(page, r))
+          if (pageRegions.exists(touchedRegions.contains)) {
+            val regionTexts = pageRegions.map(firstEquivText(_).getOrElse(""))
+            setEquivText(doc, page, regionTexts.mkString("\n"))
+          }
+        }
+    }
+  }
+
+  private def isAncestor(anc: Element, el: Element): Boolean = {
+    var p = el.getParentNode
+    while (p != null) {
+      if (p eq anc) return true
+      p = p.getParentNode
+    }
+    false
   }
 
   /** String-in/string-out form (tests / single-doc callers). */

@@ -73,8 +73,27 @@ class LmSpec extends AnyFunSuite {
     assert(LmDecoder.correctDocLm(doc, model, lm) == out)
   }
 
+  test("trainSpark equals driver-side train (counts, contexts, vocab)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    import spark.implicits._
+    val lines = Fixtures.trainingPairs.map(_._2)
+    val local = CharNgramLm.train(lines, n = 4)
+    val dist = CharNgramLm.trainSpark(spark, lines.toDS().repartition(3), n = 4)
+    assert(dist.counts == local.counts)
+    assert(dist.contextCounts == local.contextCounts)
+    assert(dist.vocabSize == local.vocabSize)
+    // behavioral equality on a mixed seen/unseen string
+    val (sa, ca) = local.advance(local.initialState, "nicht zqx weiß")
+    val (sb, cb) = dist.advance(dist.initialState, "nicht zqx weiß")
+    assert(sa == sb && math.abs(ca - cb) < 1e-12)
+  }
+
   test("G10 context from identifier: decade parse per decode.py:254-262") {
     assert(LmDecoder.contextFromIdentifier("OCR-D-GT/grenzboten_1841") == Seq(185))
+    assert(LmDecoder.contextFromIdentifier("grenzboten_1841/") == Seq(0)) // trailing sep: Python '' token
+    assert(LmDecoder.contextFromIdentifier("1841_") == Seq(0))
     assert(LmDecoder.contextFromIdentifier("band_1900") == Seq(190))
     assert(LmDecoder.contextFromIdentifier("a/b/c_1905") == Seq(191)) // ceil
     assert(LmDecoder.contextFromIdentifier("no_year_here") == Seq(0))

@@ -71,6 +71,35 @@ class PageXmlSpec extends AnyFunSuite {
     assert(out.contains("ich nicht\nzu bringen"))
   }
 
+  test("A9 multi-region write-back: region folds stay per-region, page fold joins regions") {
+    val mk = (id: String, lines: String) => s"""<TextRegion id="$id">$lines</TextRegion>"""
+    val line = (id: String, words: Seq[String]) => {
+      val ws = words.zipWithIndex.map { case (w, i) =>
+        s"""<Word id="${id}_w$i"><TextEquiv><Unicode>$w</Unicode></TextEquiv></Word>"""
+      }.mkString
+      s"""<TextLine id="$id">$ws</TextLine>"""
+    }
+    val xml =
+      s"""<?xml version="1.0" encoding="UTF-8"?><PcGts xmlns="$NS"><Page>
+         |${mk("r0", line("l1", Seq("ih", "niht")) + line("l2", Seq("zu", "bringen")))}
+         |${mk("r1", line("l3", Seq("andere", "seite")))}
+         |${mk("r2", line("l4", Seq("dritte", "region")))}
+         |</Page></PcGts>""".stripMargin
+    val out = PageXml.applyCorrections(xml,
+      Map("l1" -> "ich nicht", "l3" -> "zweite seite"))
+    // per-region folds: each region joins ITS OWN lines only
+    assert(out.contains("ich nicht\nzu bringen"))
+    assert(out.contains("zweite seite"))
+    // untouched region keeps no forced refold, but contributes to the
+    // page fold via its lines' text
+    assert(PageXml.linesOf(out) == Seq(("l1", "ich nicht"),
+      ("l2", "zu bringen"), ("l3", "zweite seite"), ("l4", "dritte region")))
+    // region -> page concatenation (the fold one level above the
+    // reference's region stop): regions joined by '\n' in order;
+    // r2 was never touched and has no region equiv -> contributes ''
+    assert(out.contains("ich nicht\nzu bringen\nzweite seite\n"))
+  }
+
   test("A9 word-level write-back: merged-away words are removed") {
     val xml = page(Seq("l1" -> Seq("zu", "bringen")))
     val out = PageXml.applyCorrections(xml, Map("l1" -> "zubringen"))
