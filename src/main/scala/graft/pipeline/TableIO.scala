@@ -2,37 +2,61 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Iceberg-shaped table IO (SURVEY.md §7.5). The sandbox has no Iceberg
   * runtime jars, so the snapshot/commit semantics of the north rule are
-  * emulated over Parquet: output is bucketed by hash(doc_id); each bucket
-  * commits atomically (write-tmp → rename) with a JSON manifest carrying
-  * per-partition lineage stats (row/span counts, doc_id range, checksum);
-  * a snapshot file lists committed buckets. Resume = re-run the same
-  * write; committed buckets are filtered out before any work happens
-  * (predicate on the bucket column → only pending docs are scanned).
-  * Swapping in real Iceberg later is one implementation of this seam.
+  * emulated over Parquet with METADATA-POINTER commits, the same shape
+  * real Iceberg uses:
+  *
+  *  - data files are written ONCE under an attempt-scoped directory
+  *    (`data/<attempt>-<seq>/bucket=N/part-*.parquet`) and NEVER moved
+  *    or renamed afterwards;
+  *  - a bucket COMMITS by creating its manifest
+  *    (`_manifests/bucket-N.json`), which records the ABSOLUTE data
+  *    file list plus per-partition lineage stats (row/span counts,
+  *    doc_id range, checksum). The manifest is written to a temp name
+  *    and renamed into place: single-file rename is atomic on
+  *    HDFS/file:, and on S3A the copy creates the destination object
+  *    fully formed — a reader never observes a truncated manifest, and
+  *    there is NO directory rename anywhere in the commit path (the
+  *    round-4 S3A caveat);
+  *  - readers resolve the table EXCLUSIVELY through manifests, so
+  *    orphaned files from failed attempts are invisible (vacuum()
+  *    reclaims them);
+  *  - a snapshot file (`_snapshot-K.json`) lists the committed buckets
+  *    + job metrics — the Iceberg snapshot-summary analogue.
+  *
+  * Resume = re-run the same write; committed buckets are filtered out
+  * before any work happens (predicate on the bucket column → only
+  * pending docs are scanned). Swapping in real Iceberg later is one
+  * implementation of this seam.
   *
   * ALL filesystem access goes through the Hadoop FileSystem resolved
-  * from the table path — manifests, snapshots and the bucket rename
-  * work identically on file:/, HDFS and S3A (java.nio would silently
-  * write driver-local paths and cannot rename an HDFS directory). The
-  * caveat inherited from Hadoop: rename is atomic on HDFS/file: but
-  * copy-based on S3A — real Iceberg solves that with metadata-pointer
-  * commits, which is exactly the seam this class emulates. */
+  * from the table path — manifests, snapshots and data files work
+  * identically on file:/, HDFS and S3A (java.nio would silently write
+  * driver-local paths). */
 object TableIO {
 
   final case class BucketManifest(bucket: Int, numDocs: Long, numSpans: Long,
-      minDocId: String, maxDocId: String, checksum: Long, attemptId: String)
+      minDocId: String, maxDocId: String, checksum: Long, attemptId: String,
+      files: Seq[String] = Nil)
 
   /** Test-only failure injection: throw after committing N buckets. */
   final class InjectedFailure(msg: String) extends RuntimeException(msg)
 
-  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+  private def fsFor(conf: Configuration, path: String): (FileSystem, Path) = {
     val p = new Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    (p.getFileSystem(conf), p)
   }
+  /** Active-session Hadoop conf when one exists; a plain Configuration
+    * otherwise — table inspection must work SESSIONLESS (e.g. checking
+    * resume state before building a SparkSession). */
+  private def defaultConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
   private def manifestDir(root: Path): Path = new Path(root, "_manifests")
   private def dataDir(root: Path): Path = new Path(root, "data")
 
@@ -45,27 +69,45 @@ object TableIO {
       }.toSet
   }
 
-  def committedBuckets(path: String): Set[Int] = {
-    val spark = SparkSession.active
-    val (fs, root) = fsFor(spark, path)
+  def committedBuckets(path: String,
+      conf: Configuration = null): Set[Int] = {
+    val (fs, root) = fsFor(Option(conf).getOrElse(defaultConf()), path)
     committedBuckets(fs, root)
   }
 
-  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
-    val out = fs.create(p, true)
+  /** Atomic single-file publish: write to a dot-temp sibling, rename
+    * into place. Readers either see the complete file or none. */
+  private def publishString(fs: FileSystem, p: Path, s: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"manifest publish $tmp -> $p failed")
   }
 
-  /** Bucketed, idempotent, resumable write. Returns newly committed
-    * bucket manifests. */
+  /** A fresh attempt-scoped data directory: `<attemptId>-<seq>` with
+    * the first free sequence number (a RETRY of the same attemptId must
+    * not overwrite data files referenced by already-committed
+    * manifests — files are immutable once written). */
+  private def freshAttemptDir(fs: FileSystem, root: Path,
+      attemptId: String): Path = {
+    var seq = 0
+    var p = new Path(dataDir(root), s"$attemptId-$seq")
+    while (fs.exists(p)) { seq += 1; p = new Path(dataDir(root), s"$attemptId-$seq") }
+    p
+  }
+
+  /** Bucketed, idempotent, resumable write with metadata-pointer
+    * commits. Returns newly committed bucket manifests. */
   def writeDocs(docs: Dataset[Doc], path: String, buckets: Int = 32,
       attemptId: String = "attempt-0",
       failAfterBuckets: Option[Int] = None,
       metrics: Option[Metrics] = None): Seq[BucketManifest] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (fs, root) = fsFor(spark, path)
+    val (fs, root) = fsFor(spark.sparkContext.hadoopConfiguration, path)
     fs.mkdirs(manifestDir(root))
     fs.mkdirs(dataDir(root))
     val done = committedBuckets(fs, root)
@@ -79,9 +121,9 @@ object TableIO {
       .withColumn("bucket", pmod(xxhash64($"doc_id"), lit(buckets)).cast("int"))
       .where($"bucket".isin(pending: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tmp = new Path(root, s"_tmp_$attemptId")
-    withBucket.write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(tmp.toString)
+    val attemptDir = freshAttemptDir(fs, root, attemptId)
+    withBucket.write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("bucket").parquet(attemptDir.toString)
 
     // per-bucket lineage stats (second pass over the persisted rows; at
     // real cluster scale these come from task-side commit messages instead)
@@ -100,26 +142,27 @@ object TableIO {
 
     val committed = scala.collection.mutable.ArrayBuffer.empty[BucketManifest]
     for (b <- pending) {
-      val src = new Path(tmp, s"bucket=$b")
-      val dst = new Path(dataDir(root), s"bucket=$b")
-      if (fs.exists(src)) {
-        if (fs.exists(dst)) fs.delete(dst, true)
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(s"rename $src -> $dst failed")
-      } else fs.mkdirs(dst) // empty bucket still commits
+      val src = new Path(attemptDir, s"bucket=$b")
+      // the manifest records the ABSOLUTE file list; data files stay
+      // where the tasks wrote them — the manifest CREATE is the commit
+      val files =
+        if (!fs.exists(src)) Seq.empty[String]
+        else fs.listStatus(src).iterator.map(_.getPath)
+          .filter(p => p.getName.startsWith("part-"))
+          .map(_.toString).toSeq.sorted
       val m = stats.getOrElse(b,
         BucketManifest(b, 0L, 0L, "", "", 0L, attemptId))
-      writeString(fs, new Path(manifestDir(root), s"bucket-$b.json"),
+        .copy(files = files)
+      publishString(fs, new Path(manifestDir(root), s"bucket-$b.json"),
         manifestJson(m))
       committed += m
       failAfterBuckets.foreach { k =>
-        if (committed.length >= k && b != pending.last) {
-          fs.delete(tmp, true)
+        if (committed.length >= k && b != pending.last)
           throw new InjectedFailure(s"injected failure after $k buckets")
-        }
+          // uncommitted attempt files stay on disk as orphans —
+          // invisible to readers (manifest-driven), reclaimed by vacuum()
       }
     }
-    fs.delete(tmp, true)
     val snapN =
       if (!fs.exists(root)) 0
       else fs.listStatus(root).iterator
@@ -131,19 +174,80 @@ object TableIO {
         s""""mediaSpans":${m.mediaSpans.value},"spansChanged":${m.spansChanged.value},""" +
         s""""chars":${m.chars.value}}"""
     }.getOrElse("")
-    writeString(fs, new Path(root, s"_snapshot-$snapN.json"),
+    publishString(fs, new Path(root, s"_snapshot-$snapN.json"),
       s"""{"snapshot":$snapN,"attempt":"$attemptId","buckets":[${all.mkString(",")}]$metricsJson}""")
     committed.toSeq
   }
 
+  /** All committed manifests, parsed (Jackson rides in with Spark). */
+  def readManifests(path: String,
+      conf: Configuration = null): Seq[BucketManifest] = {
+    val (fs, root) = fsFor(Option(conf).getOrElse(defaultConf()), path)
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) return Seq.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    fs.listStatus(dir).iterator
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("bucket-") && n.endsWith(".json")
+      }
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val node =
+          try mapper.readTree(in)
+          finally in.close()
+        import scala.jdk.CollectionConverters._
+        BucketManifest(
+          node.get("bucket").asInt(), node.get("numDocs").asLong(),
+          node.get("numSpans").asLong(), node.get("minDocId").asText(),
+          node.get("maxDocId").asText(), node.get("checksum").asLong(),
+          node.get("attemptId").asText(),
+          node.get("files").elements().asScala.map(_.asText()).toSeq)
+      }.toSeq.sortBy(_.bucket)
+  }
+
+  /** Read the table AS COMMITTED: the union of the manifests' file
+    * lists — never a directory glob, so half-written attempts and
+    * orphans are invisible. */
   def readDocs(spark: SparkSession, path: String): Dataset[Doc] = {
     import spark.implicits._
-    spark.read.parquet(new Path(new Path(path), "data").toString)
+    val files = readManifests(path,
+      spark.sparkContext.hadoopConfiguration).flatMap(_.files)
+    if (files.isEmpty) spark.emptyDataset[Doc]
+    else spark.read.parquet(files: _*)
       .select("doc_id", "spans").as[Doc]
   }
 
-  private def manifestJson(m: BucketManifest): String =
+  /** Reclaim data files not referenced by any committed manifest
+    * (failed-attempt orphans). Returns the deleted paths. NOT called
+    * automatically: against a live concurrent writer this is the table
+    * owner's maintenance decision, exactly like Iceberg's
+    * remove_orphan_files. */
+  def vacuum(path: String, conf: Configuration = null): Seq[String] = {
+    val c = Option(conf).getOrElse(defaultConf())
+    val (fs, root) = fsFor(c, path)
+    val dd = dataDir(root)
+    if (!fs.exists(dd)) return Seq.empty
+    val referenced = readManifests(path, c).flatMap(_.files).toSet
+    val it = fs.listFiles(dd, true)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toString
+      if (st.isFile && st.getPath.getName.startsWith("part-")
+          && !referenced.contains(p)) {
+        fs.delete(st.getPath, false)
+        deleted += p
+      }
+    }
+    deleted.toSeq
+  }
+
+  private def manifestJson(m: BucketManifest): String = {
+    val files = m.files.map(f => "\"" + f.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
     s"""{"bucket":${m.bucket},"numDocs":${m.numDocs},"numSpans":${m.numSpans},""" +
       s""""minDocId":"${m.minDocId}","maxDocId":"${m.maxDocId}",""" +
-      s""""checksum":${m.checksum},"attemptId":"${m.attemptId}"}"""
+      s""""checksum":${m.checksum},"attemptId":"${m.attemptId}","files":$files}"""
+  }
 }

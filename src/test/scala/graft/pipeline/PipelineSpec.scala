@@ -130,6 +130,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(snap.contains(s""""docs":60"""), snap)
   }
 
+  test("metadata-pointer commit: orphans invisible, temp manifests don't count, vacuum reclaims") {
+    val p = s"${Files.createTempDirectory("graft-io-meta")}/t"
+    val docs = DocGen.docs(spark, 60, seed = 3L, partitions = 4)
+    intercept[TableIO.InjectedFailure] {
+      TableIO.writeDocs(docs, p, buckets = 8, failAfterBuckets = Some(3))
+    }
+    // all 8 buckets' data files exist on disk (written once, up front),
+    // but only 3 manifests committed — readers see EXACTLY those
+    assert(TableIO.committedBuckets(p).size == 3)
+    val mans = TableIO.readManifests(p)
+    assert(mans.size == 3 && mans.forall(_.files.nonEmpty))
+    assert(TableIO.readDocs(spark, p).count() == mans.map(_.numDocs).sum)
+    // a stray truncated TEMP manifest (crash mid-publish) is not a
+    // commit: committedBuckets keys off the final name only
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p, "_manifests", ".bucket-9.json.tmp"),
+      """{"bucket":9,""")
+    assert(!TableIO.committedBuckets(p).contains(9))
+    // vacuum deletes only unreferenced part files; committed data intact
+    val before = TableIO.readDocs(spark, p).collect().sortBy(_.doc_id).toSeq
+    val deleted = TableIO.vacuum(p)
+    assert(deleted.nonEmpty, "uncommitted attempt files must be reclaimed")
+    assert(TableIO.readDocs(spark, p).collect().sortBy(_.doc_id).toSeq == before)
+    // resume after vacuum completes the table; explicit-Configuration
+    // (sessionless-style) inspection agrees
+    TableIO.writeDocs(docs, p, buckets = 8, attemptId = "attempt-1")
+    assert(TableIO.readDocs(spark, p).count() == 60L)
+    assert(TableIO.committedBuckets(p,
+      new org.apache.hadoop.conf.Configuration()).size == 8)
+    assert(TableIO.vacuum(p).isEmpty, "fully committed table has no orphans")
+  }
+
   private object Files {
     def createTempDirectory(prefix: String): java.nio.file.Path =
       java.nio.file.Files.createTempDirectory(prefix)
