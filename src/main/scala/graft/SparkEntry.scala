@@ -29,6 +29,8 @@ object SparkEntry {
     "q_token_counts" -> (Queries.qTokenCounts(_, _)),
     "q_lexicon_counts" -> (Queries.qLexiconCounts(_, _)),
     "q_lexicon_weights" -> (Queries.qLexiconWeights(_, _)),
+    // LM training counts (B12's distributed training pass)
+    "q_lm_ngrams" -> (Queries.qLmNgrams(_, _)),
     "q_training_join" -> (Queries.qTrainingJoin(_, _)),
     // training: error model (D rows)
     "q_confusion_counts" -> (Queries.qConfusionCounts(_, _)),

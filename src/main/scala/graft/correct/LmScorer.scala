@@ -56,7 +56,7 @@ object CharNgramLm {
   /** Per-line (ctx+char) key emission — the ONE definition both the
     * local fold and the distributed aggregation count, so
     * trainSpark == train by construction. */
-  private[correct] def lineKeys(line: String, n: Int): Iterator[String] = {
+  def lineKeys(line: String, n: Int): Iterator[String] = {
     var ctx = ""
     line.iterator.map { c =>
       val key = ctx + c

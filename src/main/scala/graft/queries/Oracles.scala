@@ -96,6 +96,15 @@ object Oracles {
       |       round(CAST(sum(levenshtein(ocr, text)) AS DOUBLE) / sum(length(text)), 6) AS cer
       |FROM t""".stripMargin
 
+  /** Char-LM training counts: the key at position i is the char window
+    * [max(1, i-3) .. i] — exactly CharNgramLm.lineKeys(n=4). */
+  val qLmNgrams: String =
+    """SELECT substr(text, greatest(1, CAST(i AS INTEGER) - 3),
+      |              CAST(i AS INTEGER) - greatest(1, CAST(i AS INTEGER) - 3) + 1) AS gram,
+      |       count(*) AS cnt
+      |FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val qDedupExact: String =
     """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
@@ -633,6 +642,7 @@ object Oracles {
     "q_token_counts" -> qTokenCounts,
     "q_lexicon_counts" -> qLexiconCounts,
     "q_lexicon_weights" -> qLexiconWeights,
+    "q_lm_ngrams" -> qLmNgrams,
     "q_ngram_topk" -> qNgramTopk,
     "q_st_ngrams" -> qStNgrams,
     "q_cer_lev" -> qCerLev,

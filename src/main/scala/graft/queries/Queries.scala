@@ -167,6 +167,22 @@ object Queries {
       .orderBy($"token")
   }
 
+  /** Distributed char-LM training counts (the aggregation behind
+    * CharNgramLm.trainSpark, B12's training pass): one flatMap of the
+    * per-char (context+char) keys — the SAME lineKeys emission the LM
+    * trains from — into a partial+final hash agg. SQL-expressible
+    * (key at position i = chars [max(1, i-3) .. i]), so the training
+    * pass itself is oracle-gated, not just spec-pinned. Only the
+    * vocabulary-sized dict ever leaves the aggregation. */
+  def qLmNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsDf(s, dir).select($"text").as[String]
+      .flatMap(graft.correct.CharNgramLm.lineKeys(_, 4))
+      .groupBy($"value").agg(count(lit(1)).as("cnt"))
+      .select($"value".as("gram"), $"cnt")
+      .orderBy($"gram")
+  }
+
   /** 1.2: the training inner join on line id (scripts/train.py:119-130;
     * the reference's only join shape). NO broadcast hint: the GT side
     * is the full corpus (grows linearly) — AQE broadcasts it at small

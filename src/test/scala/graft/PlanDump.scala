@@ -24,23 +24,27 @@ object PlanDump extends App {
   dump("q_token_counts", graft.queries.Queries.qTokenCounts(spark, sf),
     "Partial+final hash aggregation; parquet scan reads ONLY `text` (ReadSchema) — column pruning reaches the source.")
   dump("q_dedup_minhash", graft.queries.Queries.qDedupMinhash(spark, sf),
-    "Single explode of shingles feeding ONE hash aggregation computing all 4 band-min signatures at once, then a stack + second small agg — one wide shuffle total (the naive per-band form costs 4). Signatures are md5 folded to BIGINT BEFORE the min, so the agg stays a partial+final HashAggregate (min over strings degrades to SortAggregate).")
+    "Single explode of shingles feeding ONE hash aggregation computing all 64 affine row-mins at once (64 long cells per doc, partial+final HashAggregate), then a stack folding 4 row-mins per band into 16 (band, sig) rows + a second small agg — one wide shuffle total (the naive per-permutation form costs 64). All 64 permutations are affine maps of ONE md5 prefix; mins run over fixed-width BIGINTs (min over strings degrades to SortAggregate).")
+  dump("q_lm_ngrams", graft.queries.Queries.qLmNgrams(spark, sf),
+    "Distributed char-LM training counts (CharNgramLm.trainSpark's aggregation): per-char (context+char) key emission -> partial+final hash agg; only the vocabulary-sized dict crosses the shuffle. The flatMap is a typed projection (one serde boundary), the aggregation is columnar.")
+  dump("q_lexicon_weights", graft.queries.Queries.qLexiconWeights(spark, sf),
+    "-ln relative-frequency weights: the vocabulary-sized words aggregate is persisted and read by BOTH the total and the projection; the total stays IN-PLAN as a broadcast 1-row cross join (no builder-time job — the builder-is-lazy invariant).")
   dump("q_ann_cosine", graft.queries.Queries.qAnnCosine(spark, sf),
     "1-row query vector is broadcast (BroadcastNestedLoopJoin); the dot product is a codegen'd higher-order function over the array column; TakeOrderedAndProject caps the result at k.")
   dump("q_simhash (native expression)", graft.queries.Queries.qSimhash(spark, sf),
     "Custom Catalyst expression `simhash64` evaluated INSIDE WholeStageCodegen (the *(n) stages) — no DeserializeToObject/typed-map serde boundary.")
   dump("q_ngram_jaccard", graft.queries.Queries.qNgramJaccard(spark, sf),
-    "Candidate pairs via per-shingle collect_set + bounded pair explosion (df-cut <= 20) instead of a shingle self-join. The per-doc sizes joins carry NO broadcast hint (sizes grows linearly with the corpus) — AQE broadcasts at this scale, shuffle-joins at 100x. The per-shingle aggregate is persisted: every InMemoryTableScan below reads that ONE cache — the FileScan text printed under each is the cache's lineage, not an extra scan; the parquet source is read once at execution (the round-1 plan scanned it 3x).")
+    "Candidate pairs WITHOUT a shingle self-join, hot keys bounded BEFORE any doc-list materialization: the distinct (shingle, doc) rows are repartitioned ONCE by shingle and persisted; the df COUNT, the 2..20 cut (observed via jaccard_dfcut), the join-back and the now-bounded collect_set all ride that partitioning — the count-filter join sits UPSTREAM of the only collect_set, so a corpus-frequent shingle costs one count cell, never a corpus-sized buffer. The per-doc sizes joins carry NO broadcast hint (sizes grows linearly) — AQE broadcasts at this scale, shuffle-joins at 100x. Every InMemoryTableScan below reads the ONE cached aggregate; the parquet source is read once at execution.")
   dump("q_st_ngrams (distributed part)", graft.queries.Queries.stNgramsTop(spark, sf),
     "select_ngrams rank<=200 as orderBy+limit -> TakeOrderedAndProject (per-partition top-k, merged on the driver); NO global row_number window (which would move the whole distinct-gram table to one partition). The <=200 survivors are numbered driver-side.")
   dump("q_ann_lsh", graft.queries.Queries.qAnnLsh(spark, sf),
     "LSH scale path, all-expression: the 16-bit signature is a codegen'd sum of sign-dot-products over literal hyperplane vectors; the query row is fetched via a PUSHED vec_id=0 scan filter (PushedFilters in the scan below) and broadcast; the hamming prune runs BEFORE any cosine is computed.")
   dump("q_dedup_embed", graft.queries.Queries.qDedupEmbed(spark, sf),
-    "Embedding-cosine near-dup: codegen'd LSH signatures -> two 8-bit bands -> ONE shuffle self-join on (band, bval) (115x candidate cut at sf0.01 vs all-pairs) -> exact cosine only on colliding pairs -> duplicate band collisions collapsed by a NARROW max(cos) HashAggregate over (ida, idb) AFTER scoring (no first(embedding) SortAggregate) -> TakeOrderedAndProject top-20.")
+    "Embedding-cosine near-dup: codegen'd 32-bit LSH signatures -> four 8-bit bands repartitioned ONCE by (band, bval) and persisted -> bucket COUNT + 2..20 cut (observed via embed_dfcut) BEFORE the self-join, so the quadratic pair stage only ever sees bounded buckets -> exact cosine only on colliding pairs -> duplicate band collisions collapsed by a NARROW max(cos) HashAggregate over (ida, idb) AFTER scoring (no first(embedding) SortAggregate) -> TakeOrderedAndProject top-20.")
   dump("q_dedup_groups", graft.queries.Queries.qDedupGroups(spark, sf),
-    "Dedup verdict: connected components over verified edges (exact-hash window-min star edges + jaccard pairs) via iterative min-label propagation — the plan below is the CONVERGED round's label table joined back to ids; each round was one shuffle join + hash agg + a single collected scalar. Raw minhash band collisions are not edges (measured: they transitively collapse 97% of docs into one component).")
+    "Dedup verdict: connected components over verified edges (exact-hash window-min star edges + jaccard pairs + minhash candidates that pass 32/64 signature agreement against the cached row-min table) via pointer-doubled min-label propagation — the plan below is the CONVERGED round's label table joined back to ids; each round was one shuffle join + hash agg + a self-compose + a single collected scalar. RAW band collisions are still not edges (the r=1 signature measured 97% false chaining); with b=16 x r=4 the bucket stage is selective and the agreement check verifies each candidate.")
   dump("q_dedup_simhash", graft.queries.Queries.qDedupSimhash(spark, sf),
-    "SimHash near-dup pairs: codegen'd signature scan -> stack into 4x16-bit bands -> ONE band shuffle -> bounded bucket pair explosion (df-cut <= 20) -> exact hamming (bit_count of xor) only on collided candidates. Same banded-LSH plan shape as q_dedup_embed, over bits instead of vectors.")
+    "SimHash near-dup pairs: codegen'd signature scan -> stack into 4x16-bit bands -> ONE (band, bval) repartition, persisted -> bucket COUNT + 2..20 cut (observed via simhash_dfcut) BEFORE the join-back and the now-bounded collect_set -> pair explosion -> exact hamming (bit_count of xor) only on collided candidates. Same count-first banded-LSH plan shape as q_dedup_embed, over bits instead of vectors.")
   dump("q_ann_ivf", graft.queries.Queries.qAnnIvf(spark, sf),
     "IVF-flat ANN: FIXED-size (16-row) centroid broadcast — the one hint justified at any scale — feeds a narrow max_by cell assignment (partial agg collapses the 16x inflation map-side); the probe filter prunes ~7/8 of cells BEFORE embeddings re-attach by key for the full-precision cosine.")
   dump("q_events_asof", graft.queries.Analytics.qEventsAsof(spark, sf),
