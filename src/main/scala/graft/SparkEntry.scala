@@ -29,8 +29,11 @@ object SparkEntry {
     "q_token_counts" -> (Queries.qTokenCounts(_, _)),
     "q_lexicon_counts" -> (Queries.qLexiconCounts(_, _)),
     "q_lexicon_weights" -> (Queries.qLexiconWeights(_, _)),
-    // LM training counts (B12's distributed training pass)
+    // LM training counts (B12's distributed training pass) + the
+    // perplexity quality filter scored under that LM
     "q_lm_ngrams" -> (Queries.qLmNgrams(_, _)),
+    "q_lm_perplexity" -> (Queries.qLmPerplexity(_, _)),
+    "q_len_percentiles" -> (Queries.qLenPercentiles(_, _)),
     "q_training_join" -> (Queries.qTrainingJoin(_, _)),
     // training: error model (D rows)
     "q_confusion_counts" -> (Queries.qConfusionCounts(_, _)),

@@ -105,6 +105,47 @@ object Oracles {
       |FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-doc char-LM cross-entropy/perplexity under the same add-one
+    * model as qLmNgrams' counts; per-char costs fixed-point rounded
+    * (1e-9 nats) so the per-doc sum is aggregation-order-independent. */
+  val qLmPerplexity: String =
+    """WITH keys AS (
+      |  SELECT doc_id, substr(text, greatest(1, CAST(i AS INTEGER) - 3),
+      |                        CAST(i AS INTEGER) - greatest(1, CAST(i AS INTEGER) - 3) + 1) AS key
+      |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+      |), counts AS (SELECT key, count(*) AS kc FROM keys GROUP BY key),
+      |ctxc AS (SELECT substr(key, 1, length(key) - 1) AS ctx, sum(kc) AS cc FROM counts GROUP BY 1),
+      |vv AS (SELECT CAST(count(DISTINCT substr(key, length(key), 1)) AS DOUBLE) AS v FROM counts),
+      |cost AS (
+      |  SELECT doc_id, CAST(round(-ln((kc + 1.0) / (cc + v)) * 1e9) AS BIGINT) AS nats9
+      |  FROM keys JOIN counts USING (key)
+      |  JOIN ctxc ON substr(key, 1, length(key) - 1) = ctxc.ctx, vv
+      |)
+      |SELECT doc_id, count(*) AS n_chars,
+      |  round(CAST(sum(nats9) AS DOUBLE) / 1e9, 6) AS nats,
+      |  round(exp((CAST(sum(nats9) AS DOUBLE) / 1e9) / count(*)), 6) AS ppl
+      |FROM cost GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Exact percentiles from the compacted (source, n_tokens) histogram
+    * + cumulative window — the same definition as the Spark side (NOT
+    * DuckDB's quantile functions, which interpolate differently). */
+  val qLenPercentiles: String =
+    """WITH hist AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, count(*) AS c
+      |  FROM documents GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT source, n_tokens, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY n_tokens
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS total
+      |  FROM hist
+      |)
+      |SELECT source, CAST(max(total) AS BIGINT) AS n_docs,
+      |  min(CASE WHEN cum >= ceil(0.5 * total) THEN n_tokens END) AS p50,
+      |  min(CASE WHEN cum >= ceil(0.9 * total) THEN n_tokens END) AS p90,
+      |  min(CASE WHEN cum >= ceil(0.99 * total) THEN n_tokens END) AS p99
+      |FROM cum GROUP BY source ORDER BY source""".stripMargin
+
   val qDedupExact: String =
     """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
@@ -643,6 +684,8 @@ object Oracles {
     "q_lexicon_counts" -> qLexiconCounts,
     "q_lexicon_weights" -> qLexiconWeights,
     "q_lm_ngrams" -> qLmNgrams,
+    "q_lm_perplexity" -> qLmPerplexity,
+    "q_len_percentiles" -> qLenPercentiles,
     "q_ngram_topk" -> qNgramTopk,
     "q_st_ngrams" -> qStNgrams,
     "q_cer_lev" -> qCerLev,

@@ -183,6 +183,83 @@ object Queries {
       .orderBy($"gram")
   }
 
+  /** LM-perplexity quality filter (the CCNet/Gopher shape: score every
+    * document under a corpus LM, filter by perplexity): per-doc char
+    * 4-gram cross-entropy under the SAME add-one-smoothed model
+    * CharNgramLm trains (counts from qLmNgrams' aggregation over this
+    * corpus). Per-char cost = -ln((c(key)+1) / (c(ctx)+V)).
+    *
+    * Scale shape: the exploded per-char key stream joins two
+    * VOCABULARY-sized dimension tables (key counts, context counts —
+    * both derived from ONE persisted aggregate; |charset|^4-bounded) and
+    * re-aggregates per doc — two hash aggs + dimension joins, no hint
+    * (AQE broadcasts the dims when they fit). Per-char costs are
+    * deterministic doubles (IEEE ln); the per-doc sum is FIXED-POINT
+    * (sum of round(cost*1e9) BIGINTs) so aggregation order cannot
+    * change the value and DuckDB reproduces it bit-for-bit. V (distinct
+    * emitted chars) stays in-plan as a 1-row broadcast. */
+  def qLmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = registerCache(
+      docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.correct.CharNgramLm.lineKeys(t, 4).map((id, _))
+        }
+        .toDF("doc_id", "key")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val counts = registerCache(
+      keys.groupBy($"key").agg(count(lit(1)).as("kc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ctxCounts = counts
+      .groupBy(expr("substring(key, 1, length(key) - 1)").as("ctx"))
+      .agg(sum($"kc").as("cc"))
+    val vDf = counts
+      .agg(count_distinct(expr("substring(key, length(key), 1)"))
+        .cast("double").as("v"))
+    val cost = keys
+      .join(counts, "key")
+      .join(ctxCounts,
+        expr("substring(key, 1, length(key) - 1)") === ctxCounts("ctx"))
+      .crossJoin(broadcast(vDf))
+      .select($"doc_id",
+        expr("CAST(round(-ln((kc + 1.0) / (cc + v)) * 1e9) AS BIGINT)")
+          .as("nats9"))
+    cost.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chars"),
+        (sum($"nats9") / 1e9).as("nats"))
+      .select($"doc_id", $"n_chars",
+        round($"nats", 6).as("nats"),
+        round(exp($"nats" / $"n_chars"), 6).as("ppl"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact length percentiles per source — computed the way a 100-TB
+    * job should: token counts take few distinct values, so the
+    * distribution COMPACTS to a (source, n_tokens) histogram first
+    * (bounded: sources x distinct lengths) and the percentiles fall out
+    * of a cumulative-count window over that histogram — never a
+    * per-group sort buffer or a percentile_approx sketch. p-th
+    * percentile (disc) = smallest value whose cumulative count >=
+    * ceil(p * total). */
+  def qLenPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = docsDf(s, dir)
+      .select($"source", size(split($"text", " ")).as("n_tokens"))
+      .groupBy($"source", $"n_tokens").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"source").orderBy($"n_tokens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("total", sum($"c").over(Window.partitionBy($"source")))
+    def pct(p: Double, name: String) =
+      min(when($"cum" >= ceil(lit(p) * $"total"), $"n_tokens")).as(name)
+    cum.groupBy($"source")
+      .agg(max($"total").as("n_docs"),
+        pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
+      .orderBy($"source")
+  }
+
   /** 1.2: the training inner join on line id (scripts/train.py:119-130;
     * the reference's only join shape). NO broadcast hint: the GT side
     * is the full corpus (grows linearly) — AQE broadcasts it at small

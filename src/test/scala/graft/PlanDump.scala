@@ -29,6 +29,10 @@ object PlanDump extends App {
     "Distributed char-LM training counts (CharNgramLm.trainSpark's aggregation): per-char (context+char) key emission -> partial+final hash agg; only the vocabulary-sized dict crosses the shuffle. The flatMap is a typed projection (one serde boundary), the aggregation is columnar.")
   dump("q_lexicon_weights", graft.queries.Queries.qLexiconWeights(spark, sf),
     "-ln relative-frequency weights: the vocabulary-sized words aggregate is persisted and read by BOTH the total and the projection; the total stays IN-PLAN as a broadcast 1-row cross join (no builder-time job — the builder-is-lazy invariant).")
+  dump("q_lm_perplexity", graft.queries.Queries.qLmPerplexity(spark, sf),
+    "Perplexity quality filter (CCNet/Gopher shape): the exploded per-char key stream joins two VOCABULARY-sized dimension tables (key + context counts, both from ONE persisted aggregate) and re-aggregates per doc; V rides in-plan as a 1-row broadcast; per-char nats are fixed-point rounded so the per-doc sum is aggregation-order-independent (bit-equal to the DuckDB oracle).")
+  dump("q_len_percentiles", graft.queries.Queries.qLenPercentiles(spark, sf),
+    "Exact percentiles the 100-TB way: compact to a (source, n_tokens) histogram FIRST (bounded rows), then a cumulative window over the histogram — never a per-group sort of raw rows, never a percentile_approx sketch; the window partitions by source (bounded).")
   dump("q_ann_cosine", graft.queries.Queries.qAnnCosine(spark, sf),
     "1-row query vector is broadcast (BroadcastNestedLoopJoin); the dot product is a codegen'd higher-order function over the array column; TakeOrderedAndProject caps the result at k.")
   dump("q_simhash (native expression)", graft.queries.Queries.qSimhash(spark, sf),

@@ -325,6 +325,45 @@ class QueriesSpec extends AnyFunSuite {
     assert((brute & ivf).size >= 7, s"IVF recall@10 dropped: ${(brute & ivf).size}/10")
   }
 
+  test("lm perplexity query equals CharNgramLm.advance per doc (same model semantics)") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val lm = graft.correct.CharNgramLm.train(texts.map(_._2), n = 4)
+    val got = Queries.qLmPerplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    Queries.releaseCaches()
+    assert(got.size == texts.length)
+    texts.foreach { case (id, t) =>
+      val (_, nats) = lm.advance(lm.initialState, t)
+      val (n, gotNats) = got(id)
+      assert(n == t.length.toLong, s"doc $id char count")
+      // fixed-point 1e-9 per-char rounding + round-6 output tolerance
+      assert(math.abs(nats - gotNats) < 1e-3,
+        s"doc $id: advance=$nats query=$gotNats")
+    }
+  }
+
+  test("length percentiles: histogram+window definition matches a local sort") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+    val bySource = rows.groupBy(_._1).map { case (src, rs) =>
+      src -> rs.map(_._2.split(" ").length).sorted
+    }
+    def pct(xs: Array[Int], p: Double): Int =
+      xs(math.ceil(p * xs.length).toInt - 1) // smallest v with cum >= ceil(p*n)
+    val got = Queries.qLenPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    bySource.foreach { case (src, xs) =>
+      val (n, p50, p90, p99) = got(src)
+      assert(n == xs.length.toLong)
+      assert(p50 == pct(xs, 0.5) && p90 == pct(xs, 0.9) && p99 == pct(xs, 0.99),
+        s"$src: got ($p50,$p90,$p99) want (${pct(xs, 0.5)},${pct(xs, 0.9)},${pct(xs, 0.99)})")
+    }
+  }
+
   test("jaccard df-cut drop count is observed, not silent") {
     Queries.clearObserved("jaccard_dfcut") // don't read an earlier run's value
     Queries.qNgramJaccard(spark, sf).collect()
