@@ -289,6 +289,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(groups(2L) != groups(0L), s"far doc wrongly grouped: $groups")
   }
 
+  test("plan shape: minhash 64 row-mins stay one partial+final HashAggregate") {
+    val plan = Queries.qDedupMinhash(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      s"64-way min must aggregate over fixed-width BIGINTs in a HashAggregate:\n$plan")
+    assert(plan.contains("partial_min"), "map-side partial aggregation required")
+    // exactly ONE wide shuffle (doc_id) before the band stack + the
+    // small (band, sig) agg exchange and the presentation sort
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$plan")
+  }
+
   test("dedup df-cut drops are observed for simhash and embed (parity with jaccard)") {
     Queries.clearObserved("simhash_dfcut")
     Queries.clearObserved("embed_dfcut")
