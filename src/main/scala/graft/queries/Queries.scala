@@ -200,13 +200,16 @@ object Queries {
     * emitted chars) stays in-plan as a 1-row broadcast. */
   def qLmPerplexity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val keys = registerCache(
-      docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
-        .flatMap { case (id, t) =>
-          graft.correct.CharNgramLm.lineKeys(t, 4).map((id, _))
-        }
-        .toDF("doc_id", "key")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // NOT persisted: keys is the CORPUS-sized exploded per-char stream —
+    // caching it at 100 TB writes a multiple of the corpus to disk. Its
+    // two consumers recompute it from the (cheap) scan + flatMap; what
+    // IS worth caching is the VOCABULARY-sized counts aggregate below,
+    // which three consumers read (ctx counts, V, the cost join).
+    val keys = docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.correct.CharNgramLm.lineKeys(t, 4).map((id, _))
+      }
+      .toDF("doc_id", "key")
     val counts = registerCache(
       keys.groupBy($"key").agg(count(lit(1)).as("kc"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
