@@ -82,4 +82,70 @@ object MinHashDefs {
 
   /** Verification threshold: estimated Jaccard >= 0.5 (32/64 perms). */
   val VerifyAgreement = 32
+
+  // ---------------------------------------------------------------------
+  // Local (non-SQL) signature path — used by the STREAMING near-dup
+  // operator. Produces values IDENTICAL to the SQL pipeline by
+  // construction: code-point 8-gram shingles (CharNgrams.grams(8, 8)
+  // semantics), md5-hex 15-char prefix (HexPrefix64 semantics), the
+  // same affine permutations and band folds. Equality is spec-pinned
+  // (StreamingSpec: streamed mins == minhashMins SQL mins).
+
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex digits of md5(sh) as a non-negative long — the local
+    * twin of hexPrefix64(md5(sh)): 7 full bytes + the high nibble of
+    * byte 7 (60 bits). */
+  def hash60(sh: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var out = 0L
+    var i = 0
+    while (i < 7) { out = (out << 8) | (d(i) & 0xffL); i += 1 }
+    (out << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Code-point 8-grams, step 1 (CharNgrams.grams(minN=8, maxN=8)). */
+  def shingles8(text: String): Iterator[String] = {
+    val cps = text.codePoints().toArray
+    if (cps.length < 8) Iterator.empty
+    else (0 to cps.length - 8).iterator.map(i => new String(cps, i, 8))
+  }
+
+  /** The 64 per-doc row-mins; None when the text yields no shingle
+    * (the SQL path's length >= 8 filter). */
+  def minsOf(text: String): Option[Array[Long]] = {
+    val mins = Array.fill(NumPerms)(Long.MaxValue)
+    var any = false
+    shingles8(text).foreach { sh =>
+      any = true
+      val h = hash60(sh) % P
+      var i = 0
+      while (i < NumPerms) {
+        val v = (A(i) * h + B(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    if (any) Some(mins) else None
+  }
+
+  /** The 16 band values folded from the row-mins (bandFoldSql twin). */
+  def bandsOf(mins: Array[Long]): Array[Long] =
+    Array.tabulate(Bands) { j =>
+      var v = mins(Rows * j)
+      var k = 1
+      while (k < Rows) { v = (v * FoldMult + mins(Rows * j + k)) % P; k += 1 }
+      v
+    }
+
+  /** Signature agreement (agreementSql twin). */
+  def agreement(a: Array[Long], b: Array[Long]): Int = {
+    var n = 0
+    var i = 0
+    while (i < NumPerms) { if (a(i) == b(i)) n += 1; i += 1 }
+    n
+  }
 }

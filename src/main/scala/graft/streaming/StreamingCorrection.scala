@@ -7,6 +7,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
+/** One registered doc in a near-dup bucket's state. Top-level (not
+  * nested in the object): the state encoder's generated code resolves
+  * top-level case classes cleanly. */
+final case class BucketResident(id: String, mins: Array[Long])
+final case class BucketState(residents: Seq[BucketResident])
+
 /** Structured Streaming surface. The reference is a batch CLI (SURVEY.md
   * §2 "Streaming: none"), but the engine exposes the correction as a
   * streaming transform for continuous ingestion at scale: the correction
@@ -80,6 +86,81 @@ object StreamingCorrection {
               }
             if (stateTimeoutMs > 0) state.setTimeoutDuration(stateTimeoutMs)
             out
+          }
+      }
+  }
+
+  /** A verified near-dup candidate pair emitted by nearDupPairStream:
+    * ids ordered (ida < idb), signature agreement out of 64, and the
+    * band whose bucket produced the match. The same pair can surface
+    * from SEVERAL bands — collapse downstream (batch `distinct` or a
+    * pair-keyed dedupStream) if multiplicity matters. */
+  final case class NearDupPair(ida: String, idb: String,
+      agreement: Int, band: Int)
+
+  /** Streaming NEAR-DUP detection — the streaming face of the batch
+    * MinHash family (qDedupMinhash/qDedupGroups): each doc's text spans
+    * shingle into code-point 8-grams; 64 affine row-mins fold into 16
+    * band values (MinHashDefs — value-identical to the SQL path,
+    * spec-pinned); the stream keys by (band, sig) and each bucket's
+    * state holds up to `bucketCap` (doc_id, mins) residents. A new
+    * arrival is verified against its bucket's residents by signature
+    * agreement (>= 32/64 ~ estimated Jaccard 0.5) and every verified
+    * pair is EMITTED — keep/drop policy is the consumer's (pairs stream
+    * into the batch group-resolution, a blocklist sink, etc.).
+    *
+    * Scale shape: state per bucket is bounded (<= bucketCap residents x
+    * 64 longs); a bucket at capacity stops registering AND matching —
+    * the streaming analogue of the batch df-cut, with the documented
+    * divergence that the stream's cut is prefix-monotone (the first
+    * `bucketCap` residents were matched before the bucket went hot;
+    * batch drops the whole bucket retroactively). Docs shorter than one
+    * shingle pass silently (the batch length >= 8 filter).
+    * `stateTimeoutMs` is the retention policy, as in dedupStream. */
+  def nearDupPairStream(docs: Dataset[Doc], bucketCap: Int = 20,
+      stateTimeoutMs: Long = 0L): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    import graft.queries.MinHashDefs
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf =
+      if (stateTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val banded = docs.flatMap { d =>
+      val text = d.spans.filter(_.kind == "text").map(_.text).mkString(" ")
+      MinHashDefs.minsOf(text) match {
+        case Some(mins) =>
+          val bands = MinHashDefs.bandsOf(mins)
+          (0 until MinHashDefs.Bands).map(b => (b, bands(b), d.doc_id, mins))
+        case None => Seq.empty
+      }
+    }
+    banded
+      .groupByKey { case (band, sig, _, _) => (band, sig) }
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append, timeoutConf) {
+        (key: (Int, Long), rows: Iterator[(Int, Long, String, Array[Long])],
+            state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var residents =
+              state.getOption.map(_.residents).getOrElse(Seq.empty)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+            rows.foreach { case (band, _, id, mins) =>
+              if (residents.length < bucketCap
+                  && !residents.exists(_.id == id)) {
+                residents.foreach { r =>
+                  val agr = MinHashDefs.agreement(r.mins, mins)
+                  if (agr >= MinHashDefs.VerifyAgreement) {
+                    val (a, b) = if (r.id < id) (r.id, id) else (id, r.id)
+                    out += NearDupPair(a, b, agr, band)
+                  }
+                }
+                residents = residents :+ BucketResident(id, mins)
+              } // at capacity: the bucket is hot — neither match nor grow
+            }
+            state.update(BucketState(residents))
+            if (stateTimeoutMs > 0) state.setTimeoutDuration(stateTimeoutMs)
+            out.iterator
           }
       }
   }

@@ -301,6 +301,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$plan")
   }
 
+  test("local minhash path (streaming) equals the SQL pipeline: mins and band sigs") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val sqlMins = Queries.minhashMins(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (1 to MinHashDefs.NumPerms).map(r.getLong).toArray).toMap
+    val sqlBands = Queries.minhashBandSigs(Queries.minhashMins(spark, sf))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      }
+    Queries.releaseCaches()
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, t) =>
+      MinHashDefs.minsOf(t) match {
+        case None => assert(!sqlMins.contains(id), s"doc $id: SQL kept a shingle-less doc")
+        case Some(local) =>
+          assert(sqlMins(id).sameElements(local), s"doc $id mins diverge")
+          val localBands = MinHashDefs.bandsOf(local)
+          (0 until MinHashDefs.Bands).foreach { b =>
+            assert(sqlBands(id)(b) == localBands(b), s"doc $id band $b")
+          }
+      }
+    }
+  }
+
   test("dedup df-cut drops are observed for simhash and embed (parity with jaccard)") {
     Queries.clearObserved("simhash_dfcut")
     Queries.clearObserved("embed_dfcut")

@@ -59,6 +59,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup pairs: cross-batch match verified, far doc silent") {
+    import spark.implicits._
+    import graft.pipeline.{Doc, Span}
+    import graft.queries.MinHashDefs
+    val dir = Files.createTempDirectory("stream-neardup").toString
+    val base = "the grand duchy archive preserves thousands of handwritten letters describing trade routes and township disputes in careful regular script"
+    val near = base.replace("township", "village")
+    val far = "entirely unrelated content about catalyst optimizer rules and shuffle hash aggregation strategies sharing no single shingle at all"
+    def doc(id: String, t: String) = Doc(id, Seq(Span("text", t, "", 0)))
+    Seq(doc("a", base), doc("x", far)).toDS()
+      .write.mode("append").parquet(dir)
+    val stream = StreamingCorrection.readDocStream(spark, dir)
+    val q = StreamingCorrection.nearDupPairStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() == 0, "no pairs within batch 1")
+      // the near-dup arrives a MICRO-BATCH later: the match must come
+      // from bucket STATE, not intra-batch co-grouping
+      Seq(doc("b", near)).toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val pairs = spark.table("neardup")
+        .as[StreamingCorrection.NearDupPair].collect()
+      assert(pairs.nonEmpty, "near pair must be emitted")
+      assert(pairs.forall(p => p.ida == "a" && p.idb == "b"), pairs.mkString(","))
+      val expected = MinHashDefs.agreement(
+        MinHashDefs.minsOf(base).get, MinHashDefs.minsOf(near).get)
+      assert(expected >= MinHashDefs.VerifyAgreement)
+      assert(pairs.forall(_.agreement == expected),
+        "streamed agreement must equal the local/SQL signature agreement")
+      assert(!pairs.exists(p => p.ida == "x" || p.idb == "x"), "far doc must stay silent")
+      assert(pairs.map(_.band).distinct.length == pairs.length,
+        "at most one emission per band per pair")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup bucket cap bounds state: hot bucket stops matching and growing") {
+    import spark.implicits._
+    import graft.pipeline.{Doc, Span}
+    val dir = Files.createTempDirectory("stream-neardup-cap").toString
+    val text = "identical boilerplate page repeated across the corpus exactly the same every time for every single document"
+    (0 until 5).map(i => Doc(s"d$i", Seq(Span("text", text, "", 0)))).toDS()
+      .write.mode("append").parquet(dir)
+    val stream = StreamingCorrection.readDocStream(spark, dir)
+    val q = StreamingCorrection.nearDupPairStream(stream, bucketCap = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_cap").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_cap")
+        .as[StreamingCorrection.NearDupPair].collect()
+      // identical docs collide in all 16 bands; only the first 3
+      // residents per bucket register -> 3 pairs per band x 16 bands
+      assert(pairs.length == 3 * 16, s"got ${pairs.length}")
+      val involved = pairs.flatMap(p => Seq(p.ida, p.idb)).distinct
+      assert(involved.length == 3, s"cap must bound residents: $involved")
+    } finally q.stop()
+  }
+
   test("checkpointed restart is exactly-once: no dupes, no losses") {
     import spark.implicits._
     val in = Files.createTempDirectory("stream-restart-in").toString
