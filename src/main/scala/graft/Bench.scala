@@ -12,7 +12,7 @@ object Bench {
   /** Headline query subset (each also correctness-gated via Verify). */
   val headline: Seq[String] = Seq(
     "q_correct_docs", "q_token_counts", "q_lexicon_counts", "q_lm_ngrams",
-    "q_lm_perplexity", "q_len_percentiles",
+    "q_lm_perplexity", "q_len_percentiles", "q_substring_dup",
     "q_confusion_counts", "q_ngram_topk", "q_cer_lev",
     "q_dedup_exact", "q_dedup_minhash", "q_ngram_jaccard",
     "q_ann_cosine", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed", "q_dedup_groups", "q_dedup_simhash",

@@ -34,6 +34,7 @@ object SparkEntry {
     "q_lm_ngrams" -> (Queries.qLmNgrams(_, _)),
     "q_lm_perplexity" -> (Queries.qLmPerplexity(_, _)),
     "q_len_percentiles" -> (Queries.qLenPercentiles(_, _)),
+    "q_substring_dup" -> (Queries.qSubstringDup(_, _)),
     "q_training_join" -> (Queries.qTrainingJoin(_, _)),
     // training: error model (D rows)
     "q_confusion_counts" -> (Queries.qConfusionCounts(_, _)),

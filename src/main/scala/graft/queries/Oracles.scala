@@ -146,6 +146,32 @@ object Oracles {
       |  min(CASE WHEN cum >= ceil(0.99 * total) THEN n_tokens END) AS p99
       |FROM cum GROUP BY source ORDER BY source""".stripMargin
 
+  /** Duplicated-substring coverage: per-doc interval union of 40-char
+    * grams seen in >= 2 distinct docs (gaps-and-islands running max). */
+  val qSubstringDup: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
+      |    CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 40)), 1, 15)) AS BIGINT) AS gh
+      |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i) u
+      |  WHERE length(text) >= 40
+      |), dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevEnd
+      |  FROM g JOIN dup USING (gh)
+      |), cov AS (
+      |  SELECT doc_id, count(*) AS dup_grams,
+      |    CAST(sum(greatest(0, (pos + 40) - greatest(pos, COALESCE(prevEnd, 0)))) AS BIGINT) AS covered
+      |  FROM isl GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
+      |  COALESCE(cov.dup_grams, 0) AS dup_grams,
+      |  COALESCE(cov.covered, 0) AS covered,
+      |  round(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / length(d.text), 6) AS dup_frac
+      |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val qDedupExact: String =
     """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
@@ -686,6 +712,7 @@ object Oracles {
     "q_lm_ngrams" -> qLmNgrams,
     "q_lm_perplexity" -> qLmPerplexity,
     "q_len_percentiles" -> qLenPercentiles,
+    "q_substring_dup" -> qSubstringDup,
     "q_ngram_topk" -> qNgramTopk,
     "q_st_ngrams" -> qStNgrams,
     "q_cer_lev" -> qCerLev,

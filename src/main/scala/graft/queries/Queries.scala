@@ -786,6 +786,50 @@ object Queries {
     pairs.where($"hamming" <= 16).orderBy($"hamming", $"ida", $"idb")
   }
 
+  /** Exact substring-duplication coverage (the Lee et al. 2022
+    * "Deduplicating Training Data" signal): fraction of each document's
+    * chars covered by a 40-char substring that ALSO appears in some
+    * other document. Scale shape: one posexplode of per-position grams
+    * hashed to 60-bit keys (nothing downstream needs the 40-char text —
+    * 8-byte shuffle keys), repartitioned ONCE by gram and persisted;
+    * the >= 2-distinct-docs cut and the join-back ride that
+    * partitioning; coverage is an interval UNION per doc via the
+    * gaps-and-islands running-max window (doc-partitioned, bounded —
+    * never a global window), so overlapping duplicated grams are not
+    * double-counted. */
+  def qSubstringDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.HexPrefix64.hexPrefix64
+    val K = 40
+    val grams = docsDf(s, dir).where(length($"text") >= K)
+      .select($"doc_id",
+        posexplode(graft.functions.CharNgrams.charNgrams($"text", K, K)))
+      .select($"doc_id", $"pos", hexPrefix64(md5($"col")).as("gh"))
+      .repartition($"gh")
+    registerCache(
+      grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dup = grams.groupBy($"gh")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .where($"nd" >= 2).select($"gh")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = grams.join(dup, "gh") // same gh partitioning: no exchange
+      .select($"doc_id", $"pos")
+      .withColumn("prevEnd", max($"pos" + K).over(w))
+      .select($"doc_id", greatest(lit(0),
+        ($"pos" + K) - greatest($"pos", coalesce($"prevEnd", lit(0)))).as("add"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("dup_grams"), sum($"add").as("covered"))
+    docsDf(s, dir).select($"doc_id", length($"text").as("n_chars"))
+      .join(cov, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chars",
+        coalesce($"dup_grams", lit(0L)).as("dup_grams"),
+        coalesce($"covered", lit(0L)).as("covered"),
+        round(coalesce($"covered", lit(0L)) / $"n_chars", 6).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
   // ------------------------------------------------------------ similarity search
 
   /** Brute-force cosine top-k vs the vec_id=0 query vector (double

@@ -33,6 +33,8 @@ object PlanDump extends App {
     "Perplexity quality filter (CCNet/Gopher shape): the exploded per-char key stream joins two VOCABULARY-sized dimension tables (key + context counts, both from ONE persisted aggregate) and re-aggregates per doc; V rides in-plan as a 1-row broadcast; per-char nats are fixed-point rounded so the per-doc sum is aggregation-order-independent (bit-equal to the DuckDB oracle).")
   dump("q_len_percentiles", graft.queries.Queries.qLenPercentiles(spark, sf),
     "Exact percentiles the 100-TB way: compact to a (source, n_tokens) histogram FIRST (bounded rows), then a cumulative window over the histogram — never a per-group sort of raw rows, never a percentile_approx sketch; the window partitions by source (bounded).")
+  dump("q_substring_dup", graft.queries.Queries.qSubstringDup(spark, sf),
+    "Exact substring-duplication coverage (Lee et al. shape): per-position 40-grams hashed to 8-byte keys, ONE gram repartition persisted and reused by the >=2-docs cut and the join-back; coverage = interval union via a doc-partitioned gaps-and-islands running-max window (bounded partitions, never global).")
   dump("q_ann_cosine", graft.queries.Queries.qAnnCosine(spark, sf),
     "1-row query vector is broadcast (BroadcastNestedLoopJoin); the dot product is a codegen'd higher-order function over the array column; TakeOrderedAndProject caps the result at k.")
   dump("q_simhash (native expression)", graft.queries.Queries.qSimhash(spark, sf),

@@ -403,6 +403,42 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("substring-dup coverage equals a brute-force local interval union") {
+    import spark.implicits._
+    val K = 40
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // brute force: grams (by text, not hash) seen in >= 2 distinct docs;
+    // per-doc boolean coverage mask
+    val byGram = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    rows.foreach { case (id, t) =>
+      (0 to t.length - K).foreach { i =>
+        byGram.getOrElseUpdate(t.substring(i, i + K),
+          scala.collection.mutable.Set.empty) += id
+      }
+    }
+    val dupGrams = byGram.filter(_._2.size >= 2).keySet
+    val expect = rows.map { case (id, t) =>
+      val mask = new Array[Boolean](t.length)
+      var n = 0
+      (0 to t.length - K).foreach { i =>
+        if (dupGrams.contains(t.substring(i, i + K))) {
+          n += 1
+          (i until i + K).foreach(mask(_) = true)
+        }
+      }
+      id -> (n.toLong, mask.count(identity).toLong)
+    }.toMap
+    val got = Queries.qSubstringDup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    Queries.releaseCaches()
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)} want $e")
+    }
+    assert(expect.values.exists(_._2 > 0), "fixture must contain duplicated substrings")
+  }
+
   test("jaccard df-cut drop count is observed, not silent") {
     Queries.clearObserved("jaccard_dfcut") // don't read an earlier run's value
     Queries.qNgramJaccard(spark, sf).collect()
