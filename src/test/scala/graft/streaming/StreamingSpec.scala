@@ -153,6 +153,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 25, "idle restart added rows")
   }
 
+  test("near-dup stream restart recovers bucket state: cross-restart match, no dupes") {
+    import spark.implicits._
+    import graft.pipeline.{Doc, Span}
+    val in = Files.createTempDirectory("stream-nd-restart-in").toString
+    val out = Files.createTempDirectory("stream-nd-restart-out").toString
+    val ckpt = Files.createTempDirectory("stream-nd-restart-ckpt").toString
+    val base = "the grand duchy archive preserves thousands of handwritten letters describing trade routes and township disputes in careful regular script"
+    val near = base.replace("township", "village")
+    def doc(id: String, t: String) = Doc(id, Seq(Span("text", t, "", 0)))
+    def start() = StreamingCorrection
+      .nearDupPairStream(StreamingCorrection.readDocStream(spark, in))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    // wave 1 registers the base doc, then the query STOPS (the kill)
+    Seq(doc("a", base)).toDS().write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // the near-dup lands while the query is down; the match after
+    // restart can only come from RECOVERED bucket state
+    Seq(doc("b", near)).toDS().write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val pairs = spark.read.parquet(out)
+      .as[StreamingCorrection.NearDupPair].collect()
+    assert(pairs.nonEmpty, "state must survive the restart")
+    assert(pairs.forall(p => p.ida == "a" && p.idb == "b"))
+    assert(pairs.map(_.band).distinct.length == pairs.length, "exactly-once per band")
+    // idle restart: no reprocessing, no new pairs
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(out).count() == pairs.length.toLong,
+      "idle restart re-emitted pairs")
+  }
+
   test("watermarked windowed aggregation over the events shape") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream-events").toString
