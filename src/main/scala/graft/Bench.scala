@@ -17,7 +17,7 @@ object Bench {
     "q_dedup_exact", "q_dedup_minhash", "q_ngram_jaccard",
     "q_ann_cosine", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed", "q_dedup_groups", "q_dedup_simhash",
     "q_simhash", "q_quality", "q_fingerprint",
-    "q_gopher_quality", "q_pii_redact", "q_decontaminate", "q_sample_stratified",
+    "q_gopher_quality", "q_pii_redact", "q_decontaminate", "q_sample_stratified", "q_sample_mixture",
     "q_chunk_fixed", "q_tfidf_top",
     "q_tpch_pricing", "q_tpch_top_customers", "q_tpch_promo",
     "q_parts_cold", "q_suppliers_hot", "q_events_window", "q_events_asof")

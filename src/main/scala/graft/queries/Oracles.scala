@@ -696,6 +696,24 @@ object Oracles {
 
   /** Stratified-sampling oracle: identical 60-bit md5 uniform and the
     * shared per-source rate CASE — reproduces the exact sample. */
+  val qSampleMixture: String =
+    s"""WITH per_source AS (
+       |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS stok,
+       |    ${Queries.MixtureWeightSql.linesIterator.mkString(" ")} AS w
+       |  FROM documents GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(stok) AS DOUBLE) AS total, CAST(sum(w) AS DOUBLE) AS sumw
+       |  FROM per_source
+       |), rates AS (
+       |  SELECT source, least(1.0, 0.5 * total * w / sumw / stok) AS rate
+       |  FROM per_source, tot
+       |)
+       |SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
+       |FROM documents d JOIN rates r USING (source)
+       |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      / POW(2, 60) < r.rate
+       |ORDER BY d.doc_id""".stripMargin
+
   val qSampleStratified: String =
     s"""SELECT doc_id, source,
        |  round(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -713,6 +731,7 @@ object Oracles {
     "q_lm_perplexity" -> qLmPerplexity,
     "q_len_percentiles" -> qLenPercentiles,
     "q_substring_dup" -> qSubstringDup,
+    "q_sample_mixture" -> qSampleMixture,
     "q_ngram_topk" -> qNgramTopk,
     "q_st_ngrams" -> qStNgrams,
     "q_cer_lev" -> qCerLev,

@@ -1334,6 +1334,51 @@ object Queries {
     * sampling is nested by construction). u = L / 2^60 with L computed
     * identically in both engines, so the oracle reproduces the exact
     * same sample. */
+  /** Mixture-weight CASE shared verbatim with the oracle: relative
+    * target shares of the token budget per source group. */
+  val MixtureWeightSql: String =
+    """CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3
+      |     WHEN source IN ('src5','src6','src7','src8','src9') THEN 2
+      |     ELSE 1 END""".stripMargin
+
+  /** Data-MIXTURE sampling (the "data recipe" op every LLM pipeline
+    * runs): given per-source mixture weights and a token budget (50% of
+    * the corpus), derive each source's sampling rate
+    * rate = min(1, budget * w/sum_w / source_tokens) and keep doc_id
+    * hashes below it — deterministic, reproducible, and exact across
+    * engines (the rate expression is written with identical
+    * associativity on both sides; u = hash/2^60 is a division by a
+    * power of two, exact in doubles).
+    *
+    * Scale shape: one (source, tokens) aggregate (bounded by the source
+    * count), totals as an in-plan 1-row broadcast, the per-source rate
+    * table joined back WITHOUT a hint (sources may scale; AQE
+    * broadcasts when small) — the corpus side is scan + filter, no
+    * shuffle. */
+  def qSampleMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.HexPrefix64.hexPrefix64
+    val perSource = docsDf(s, dir)
+      .select($"source", size(split($"text", " ")).as("nt"))
+      .groupBy($"source").agg(sum($"nt").as("stok"))
+      .select($"source", $"stok", expr(MixtureWeightSql).as("w"))
+    val totals = perSource
+      .agg(sum($"stok").cast("double").as("total"),
+        sum($"w").cast("double").as("sumw"))
+    val rates = perSource.crossJoin(broadcast(totals))
+      .select($"source",
+        least(lit(1.0), lit(0.5) * $"total" * $"w" / $"sumw" / $"stok")
+          .as("rate"))
+    docsDf(s, dir)
+      .select($"doc_id", $"source",
+        (hexPrefix64(md5($"doc_id".cast("string"))) /
+          lit(math.pow(2, 60))).as("u"))
+      .join(rates, "source")
+      .where($"u" < $"rate")
+      .select($"doc_id", $"source", round($"rate", 6).as("rate"))
+      .orderBy($"doc_id")
+  }
+
   def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.HexPrefix64.hexPrefix64

@@ -439,6 +439,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(expect.values.exists(_._2 > 0), "fixture must contain duplicated substrings")
   }
 
+  test("optimizer-config equality: AQE off yields identical results on shuffle-heavy queries") {
+    // different physical plans (no runtime re-plan, no broadcast
+    // conversion) must not change VALUES — guards against
+    // aggregation-order-sensitive arithmetic sneaking in
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.adaptive.enabled", "false")
+    for (name <- Seq("q_ngram_jaccard", "q_dedup_groups",
+        "q_lm_perplexity", "q_sample_mixture", "q_substring_dup")) {
+      val a = SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted
+      Queries.releaseCaches()
+      val b = SparkEntry.queries(name)(alt, sf).collect().map(_.toString).sorted
+      Queries.releaseCaches()
+      assert(a.sameElements(b), s"$name differs with AQE off")
+    }
+  }
+
   test("jaccard df-cut drop count is observed, not silent") {
     Queries.clearObserved("jaccard_dfcut") // don't read an earlier run's value
     Queries.qNgramJaccard(spark, sf).collect()
