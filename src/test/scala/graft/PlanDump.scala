@@ -35,6 +35,8 @@ object PlanDump extends App {
     "Exact percentiles the 100-TB way: compact to a (source, n_tokens) histogram FIRST (bounded rows), then a cumulative window over the histogram — never a per-group sort of raw rows, never a percentile_approx sketch; the window partitions by source (bounded).")
   dump("q_substring_dup", graft.queries.Queries.qSubstringDup(spark, sf),
     "Exact substring-duplication coverage (Lee et al. shape): per-position 40-grams hashed to 8-byte keys, ONE gram repartition persisted and reused by the >=2-docs cut and the join-back; coverage = interval union via a doc-partitioned gaps-and-islands running-max window (bounded partitions, never global).")
+  dump("q_sample_mixture", graft.queries.Queries.qSampleMixture(spark, sf),
+    "Data-mixture sampling: bounded (source, tokens) aggregate + 1-row totals broadcast derive per-source rates; the corpus side joins the tiny rate table (no hint — AQE broadcasts) and filters on the doc_id hash — scan + filter, no corpus shuffle.")
   dump("q_ann_cosine", graft.queries.Queries.qAnnCosine(spark, sf),
     "1-row query vector is broadcast (BroadcastNestedLoopJoin); the dot product is a codegen'd higher-order function over the array column; TakeOrderedAndProject caps the result at k.")
   dump("q_simhash (native expression)", graft.queries.Queries.qSimhash(spark, sf),
