@@ -53,6 +53,9 @@ object SparkEntry {
     "q_dedup_groups" -> (Queries.qDedupGroups(_, _)),
     "q_dedup_simhash" -> (Queries.qDedupSimhash(_, _)),
     "q_simhash" -> (Queries.qSimhash(_, _)),
+    // extraction: CCNet-style cross-doc boilerplate strip over the
+    // interleaved span shape (typed scale path: pipeline.Boilerplate)
+    "q_boilerplate" -> (Queries.qBoilerplate(_, _)),
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),
     "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),

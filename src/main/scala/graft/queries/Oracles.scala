@@ -723,7 +723,44 @@ object Oracles {
        |      / POW(2, 60) < (${Queries.SampleRateSql})
        |ORDER BY doc_id""".stripMargin
 
+  /** Boilerplate-strip oracle: the same deterministic span construction
+    * (3-token text spans at even ords; an image span after text span k
+    * where (doc_id + k) % 5 = 0), then text spans with cross-doc
+    * df >= 2 stripped, media passed through. */
+  val qBoilerplate: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, w, CAST(floor((len(w) + 2) / 3.0) AS INTEGER) AS nspan
+      |  FROM t WHERE len(w) >= 1
+      |), ks AS (
+      |  SELECT doc_id, w, CAST(kk AS INTEGER) AS k
+      |  FROM b, LATERAL (SELECT unnest(range(0, nspan)) AS kk) u
+      |), ts AS (
+      |  SELECT doc_id, k * 2 AS ord, 'text' AS kind,
+      |    array_to_string(list_slice(w, k * 3 + 1, k * 3 + 3), ' ') AS text,
+      |    '' AS media_ref
+      |  FROM ks
+      |), ms AS (
+      |  SELECT doc_id, k * 2 + 1 AS ord, 'image' AS kind, '' AS text,
+      |    'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST(k AS VARCHAR)
+      |      AS media_ref
+      |  FROM ks WHERE (doc_id + k) % 5 = 0
+      |), allspans AS (
+      |  SELECT * FROM ts UNION ALL SELECT * FROM ms
+      |), dfreq AS (
+      |  SELECT text, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      |  FROM ts GROUP BY text
+      |)
+      |SELECT a.doc_id, a.ord, a.kind, a.text, a.media_ref,
+      |  CAST(coalesce(d.nd, 0) AS BIGINT) AS n_docs
+      |FROM allspans a LEFT JOIN dfreq d ON a.text = d.text
+      |WHERE a.kind <> 'text' OR d.nd < 2
+      |ORDER BY a.doc_id, a.ord""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q_boilerplate" -> qBoilerplate,
     "q_token_counts" -> qTokenCounts,
     "q_lexicon_counts" -> qLexiconCounts,
     "q_lexicon_weights" -> qLexiconWeights,

@@ -830,6 +830,47 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** CCNet-style span-level boilerplate strip — the oracled flat-span
+    * form of `graft.pipeline.Boilerplate.strip` (the typed op over
+    * `Dataset[Doc]` is the scale path: bounded broadcast dictionary,
+    * no data-path shuffle; see Boilerplate.scala). Here the interleaved
+    * span table is CONSTRUCTED deterministically from `documents` with
+    * expressions both engines evaluate identically — 3-token text spans
+    * at even ords, an image span after text span k wherever
+    * (doc_id + k) % 5 == 0 — then any text span whose content appears
+    * in >= 2 distinct docs is stripped; media spans pass through and
+    * retained spans keep their ords (span-sequence equality on the
+    * retained subsequence). The df join keys are the raw span strings
+    * (short by construction); the typed op hashes to 60-bit keys
+    * before its single shuffle. */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docsDf(s, dir)
+      .select($"doc_id",
+        filter(split($"text", " "), t => t =!= "").as("w"))
+      .where(size($"w") >= 1)
+      .withColumn("nspan", floor((size($"w") + lit(2)) / lit(3.0)).cast("int"))
+      .select($"doc_id", $"w", explode(sequence(lit(0), $"nspan" - 1)).as("k"))
+    val tspans = base.select($"doc_id",
+      ($"k" * 2).cast("int").as("ord"), lit("text").as("kind"),
+      concat_ws(" ", slice($"w", $"k" * 3 + 1, lit(3))).as("text"),
+      lit("").as("media_ref"))
+    val mspans = base.where((($"doc_id" + $"k") % 5) === 0)
+      .select($"doc_id",
+        ($"k" * 2 + 1).cast("int").as("ord"), lit("image").as("kind"),
+        lit("").as("text"),
+        concat(lit("media://"), $"doc_id".cast("string"), lit("/"),
+          $"k".cast("string")).as("media_ref"))
+    val dfreq = tspans.groupBy($"text")
+      .agg(count_distinct($"doc_id").as("nd"))
+    tspans.unionByName(mspans)
+      .join(dfreq, Seq("text"), "left")
+      .where($"kind" =!= "text" || $"nd" < 2)
+      .select($"doc_id", $"ord", $"kind", $"text", $"media_ref",
+        coalesce($"nd", lit(0L)).as("n_docs"))
+      .orderBy($"doc_id", $"ord")
+  }
+
   // ------------------------------------------------------------ similarity search
 
   /** Brute-force cosine top-k vs the vec_id=0 query vector (double
