@@ -41,6 +41,8 @@ object PlanDump extends App {
     "1-row query vector is broadcast (BroadcastNestedLoopJoin); the dot product is a codegen'd higher-order function over the array column; TakeOrderedAndProject caps the result at k.")
   dump("q_simhash (native expression)", graft.queries.Queries.qSimhash(spark, sf),
     "Custom Catalyst expression `simhash64` evaluated INSIDE WholeStageCodegen (the *(n) stages) — no DeserializeToObject/typed-map serde boundary.")
+  dump("q_boilerplate", graft.queries.Queries.qBoilerplate(spark, sf),
+    "CCNet-style span-level boilerplate strip (oracled flat form): ONE documents FileScan feeds both the span construction and the df aggregate; the strip is a join against the df agg keyed on span text. The typed scale path (pipeline.Boilerplate.strip) replaces that join with a bounded broadcast dictionary + map-side filter — NO data-path shuffle; this oracled form keeps both engines on identical relational semantics.")
   dump("q_ngram_jaccard", graft.queries.Queries.qNgramJaccard(spark, sf),
     "Candidate pairs WITHOUT a shingle self-join, hot keys bounded BEFORE any doc-list materialization: the distinct (shingle, doc) rows are repartitioned ONCE by shingle and persisted; the df COUNT, the 2..20 cut (observed via jaccard_dfcut), the join-back and the now-bounded collect_set all ride that partitioning — the count-filter join sits UPSTREAM of the only collect_set, so a corpus-frequent shingle costs one count cell, never a corpus-sized buffer. The per-doc sizes joins carry NO broadcast hint (sizes grows linearly) — AQE broadcasts at this scale, shuffle-joins at 100x. Every InMemoryTableScan below reads the ONE cached aggregate; the parquet source is read once at execution.")
   dump("q_st_ngrams (distributed part)", graft.queries.Queries.stNgramsTop(spark, sf),
