@@ -56,6 +56,7 @@ object SparkEntry {
     // extraction: CCNet-style cross-doc boilerplate strip over the
     // interleaved span shape (typed scale path: pipeline.Boilerplate)
     "q_boilerplate" -> (Queries.qBoilerplate(_, _)),
+    "q_main_content" -> (Queries.qMainContent(_, _)),
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),
     "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),

@@ -759,8 +759,49 @@ object Oracles {
       |WHERE a.kind <> 'text' OR d.nd < 2
       |ORDER BY a.doc_id, a.ord""".stripMargin
 
+  /** Main-content selection oracle: same span construction; content
+    * signal = cross-doc df = 1; islands on the text-span index k (media
+    * never breaks a block); largest island per doc, earliest on tie. */
+  val qMainContent: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, w, CAST(floor((len(w) + 2) / 3.0) AS INTEGER) AS nspan
+      |  FROM t WHERE len(w) >= 1
+      |), ks AS (
+      |  SELECT doc_id, w, CAST(kk AS INTEGER) AS k
+      |  FROM b, LATERAL (SELECT unnest(range(0, nspan)) AS kk) u
+      |), ts AS (
+      |  SELECT doc_id, k,
+      |    array_to_string(list_slice(w, k * 3 + 1, k * 3 + 3), ' ') AS text
+      |  FROM ks
+      |), dfreq AS (
+      |  SELECT text, count(DISTINCT doc_id) AS nd FROM ts GROUP BY text
+      |), uniq AS (
+      |  SELECT ts.doc_id, ts.k, ts.text
+      |  FROM ts JOIN dfreq USING (text) WHERE nd = 1
+      |), isl AS (
+      |  SELECT doc_id, k, text,
+      |    k - row_number() OVER (PARTITION BY doc_id ORDER BY k) AS isl
+      |  FROM uniq
+      |), islands AS (
+      |  SELECT doc_id, isl, CAST(count(*) AS INTEGER) AS n_spans,
+      |    CAST(min(k) * 2 AS INTEGER) AS start_ord,
+      |    CAST(max(k) * 2 AS INTEGER) AS end_ord,
+      |    string_agg(text, ' ' ORDER BY k) AS content
+      |  FROM isl GROUP BY doc_id, isl
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY n_spans DESC, start_ord ASC) AS rn
+      |  FROM islands
+      |)
+      |SELECT doc_id, start_ord, end_ord, n_spans, content
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_boilerplate" -> qBoilerplate,
+    "q_main_content" -> qMainContent,
     "q_token_counts" -> qTokenCounts,
     "q_lexicon_counts" -> qLexiconCounts,
     "q_lexicon_weights" -> qLexiconWeights,

@@ -843,14 +843,21 @@ object Queries {
     * retained subsequence). The df join keys are the raw span strings
     * (short by construction); the typed op hashes to 60-bit keys
     * before its single shuffle. */
-  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic interleaved-span construction shared by the
+    * extraction queries: 3-token text spans indexed k (ord = 2k). */
+  private def spanBase(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = docsDf(s, dir)
+    docsDf(s, dir)
       .select($"doc_id",
         filter(split($"text", " "), t => t =!= "").as("w"))
       .where(size($"w") >= 1)
       .withColumn("nspan", floor((size($"w") + lit(2)) / lit(3.0)).cast("int"))
       .select($"doc_id", $"w", explode(sequence(lit(0), $"nspan" - 1)).as("k"))
+  }
+
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = spanBase(s, dir)
     val tspans = base.select($"doc_id",
       ($"k" * 2).cast("int").as("ord"), lit("text").as("kind"),
       concat_ws(" ", slice($"w", $"k" * 3 + 1, lit(3))).as("text"),
@@ -869,6 +876,40 @@ object Queries {
       .select($"doc_id", $"ord", $"kind", $"text", $"media_ref",
         coalesce($"nd", lit(0L)).as("n_docs"))
       .orderBy($"doc_id", $"ord")
+  }
+
+  /** Readability/Boilerpipe-style MAIN-CONTENT block selection — the
+    * north rule's "DOM heuristics" clause: per document, pick the
+    * largest contiguous run of content spans (ties → earliest). The
+    * content signal is cross-doc uniqueness (df == 1, the CCNet signal
+    * qBoilerplate uses); contiguity is measured on the text-span index
+    * k, so interleaved media spans do NOT break a content block (an
+    * image inside an article must not split it). Islands via
+    * gaps-and-islands (k - row_number), both window functions
+    * DOC-PARTITIONED — never a global window, so per-group state is
+    * bounded by the longest document, not the corpus. Docs whose spans
+    * are all boilerplate produce no row (nothing to extract). */
+  def qMainContent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = spanBase(s, dir).select($"doc_id", $"k",
+      concat_ws(" ", slice($"w", $"k" * 3 + 1, lit(3))).as("text"))
+    val dfreq = t.groupBy($"text").agg(count_distinct($"doc_id").as("nd"))
+    val uniq = t.join(dfreq, Seq("text")).where($"nd" === 1)
+    val isl = uniq.withColumn("isl",
+      $"k" - row_number().over(Window.partitionBy($"doc_id").orderBy($"k")))
+    val islands = isl.groupBy($"doc_id", $"isl")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        (min($"k") * 2).cast("int").as("start_ord"),
+        (max($"k") * 2).cast("int").as("end_ord"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct($"k", $"text"))),
+          x => x.getField("text"))).as("content"))
+    islands.withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy(desc("n_spans"), asc("start_ord"))))
+      .where($"rn" === 1)
+      .select($"doc_id", $"start_ord", $"end_ord", $"n_spans", $"content")
+      .orderBy($"doc_id")
   }
 
   // ------------------------------------------------------------ similarity search

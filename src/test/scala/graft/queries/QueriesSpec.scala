@@ -640,4 +640,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(exchanges.forall(_.contains("rangepartitioning")),
       s"sampling must not shuffle (only the final sort may):\n$plan")
   }
+
+  test("main content: largest contiguous unique-span block, earliest on tie") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mc").toString
+    // doc 0: 5 spans, span 2 shared with doc 1 -> two 2-span islands, tie
+    // doc 1: shared span then one unique span
+    // doc 2: all unique -> the whole doc is the block
+    Seq(
+      (0L, "a01 a02 a03 a11 a12 a13 sh1 sh2 sh3 a21 a22 a23 a31 a32 a33"),
+      (1L, "sh1 sh2 sh3 b11 b12 b13"),
+      (2L, "c01 c02 c03 c11 c12 c13 c21 c22 c23"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.qMainContent(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0L, 0, 2, 2, "a01 a02 a03 a11 a12 a13"), // tie of two islands -> earliest
+      (1L, 2, 2, 1, "b11 b12 b13"),
+      (2L, 0, 4, 3, "c01 c02 c03 c11 c12 c13 c21 c22 c23")))
+  }
 }
