@@ -41,6 +41,9 @@ object PlanDump extends App {
     "1-row query vector is broadcast (BroadcastNestedLoopJoin); the dot product is a codegen'd higher-order function over the array column; TakeOrderedAndProject caps the result at k.")
   dump("q_simhash (native expression)", graft.queries.Queries.qSimhash(spark, sf),
     "Custom Catalyst expression `simhash64` evaluated INSIDE WholeStageCodegen (the *(n) stages) — no DeserializeToObject/typed-map serde boundary.")
+  dump("Boilerplate.strip data path (typed)",
+    graft.pipeline.Boilerplate.strip(DocGen.docs(spark, 100, 42L, 8)).docs.toDF(),
+    "The typed boilerplate strip's DATA path: scan -> MapElements (filter against the broadcast dictionary) -> sink. NO exchange anywhere — the operator composes with any upstream partitioning. The dictionary pass (not shown: explode -> 60-bit hash agg -> bounded top-df collect) is the only shuffle and runs once before this plan.")
   dump("q_boilerplate", graft.queries.Queries.qBoilerplate(spark, sf),
     "CCNet-style span-level boilerplate strip (oracled flat form): ONE documents FileScan feeds both the span construction and the df aggregate; the strip is a join against the df agg keyed on span text. The typed scale path (pipeline.Boilerplate.strip) replaces that join with a bounded broadcast dictionary + map-side filter — NO data-path shuffle; this oracled form keeps both engines on identical relational semantics.")
   dump("q_main_content", graft.queries.Queries.qMainContent(spark, sf),
