@@ -162,6 +162,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(TableIO.vacuum(p).isEmpty, "fully committed table has no orphans")
   }
 
+  test("extraction pipeline e2e: boilerplate strip -> correct -> commit -> read back") {
+    import spark.implicits._
+    // inject the same footer span into every doc — the cross-doc repeated
+    // content the strip must identify (plus any organically repeated
+    // perturbed lines, which the independent recomputation accounts for)
+    val footer = "Imprint: Verlag und Druck Beispiel"
+    val raw = DocGen.docs(spark, 40, seed = 21L, partitions = 4).collect()
+      .map(d => Doc(d.doc_id, d.spans :+ Span("text", footer, "", d.spans.length)))
+      .toSeq
+    val docs = spark.createDataset(raw)
+    val res = Boilerplate.strip(docs, minDf = 2)
+    // independent expected strip set (JVM recomputation, no Spark)
+    val boiler = raw.flatMap(d => d.spans.filter(_.kind == "text").map(sp => (sp.text, d.doc_id)))
+      .groupBy(_._1).collect { case (t, xs) if xs.map(_._2).distinct.size >= 2 => t }
+      .toSet
+    assert(boiler(footer))
+    val expected = raw.map(d => d.doc_id ->
+      d.spans.filter(sp => sp.kind != "text" || !boiler(sp.text))).toMap
+    val stripped = res.docs.collect()
+    assert(stripped.map(d => d.doc_id -> d.spans).toMap == expected)
+    // correct the stripped docs and commit through the snapshot seam
+    val bc = CorrectionJob.broadcastModel(spark, model)
+    val corrected = CorrectionJob.correctDocs(res.docs, bc, None, Some(4))
+    val out = s"${Files.createTempDirectory("graft-extract")}/table"
+    TableIO.writeDocs(corrected, out, buckets = 4)
+    val back = TableIO.readDocs(spark, out).collect().sortBy(_.doc_id).toSeq
+    assert(back == corrected.collect().sortBy(_.doc_id).toSeq)
+    // span-sequence invariant holds through the WHOLE chain: the committed
+    // table's (kind, media_ref, offset) sequences equal the stripped input's
+    back.foreach { d =>
+      val in = expected(d.doc_id)
+      assert(d.spans.map(s => (s.kind, s.media_ref, s.offset)) ==
+        in.map(s => (s.kind, s.media_ref, s.offset)), d.doc_id)
+    }
+  }
+
   private object Files {
     def createTempDirectory(prefix: String): java.nio.file.Path =
       java.nio.file.Files.createTempDirectory(prefix)
