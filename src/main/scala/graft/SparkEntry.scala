@@ -57,6 +57,9 @@ object SparkEntry {
     // interleaved span shape (typed scale path: pipeline.Boilerplate)
     "q_boilerplate" -> (Queries.qBoilerplate(_, _)),
     "q_main_content" -> (Queries.qMainContent(_, _)),
+    // raw-markup extraction round trips (north rule: HTML strip, PDF/layout parse)
+    "q_html_extract" -> (Queries.qHtmlExtract(_, _)),
+    "q_pdf_extract" -> (Queries.qPdfExtract(_, _)),
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),
     "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),

@@ -799,7 +799,48 @@ object Oracles {
       |SELECT doc_id, start_ord, end_ord, n_spans, content
       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Raw-markup extraction round-trip EXPECTATION, shared by
+    * q_html_extract and q_pdf_extract: the Spark side synthesizes real
+    * markup from `documents` and parses it back with the from-scratch
+    * extractor; the oracle states the span sequence that identity must
+    * produce, computed directly from the source columns — 3-token text
+    * chunks in order, an image span after chunk k when
+    * (doc_id + k) % 5 = 0, sequential per-doc ordinals. */
+  private val qMarkupExtract: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, w, CAST(floor((len(w) + 2) / 3.0) AS INTEGER) AS nspan
+      |  FROM t WHERE len(w) >= 1
+      |), ks AS (
+      |  SELECT doc_id, w, CAST(kk AS INTEGER) AS k
+      |  FROM b, LATERAL (SELECT unnest(range(0, nspan)) AS kk) u
+      |), ts AS (
+      |  SELECT doc_id, k * 2 AS sortord, 'text' AS kind,
+      |    array_to_string(list_slice(w, k * 3 + 1, k * 3 + 3), ' ') AS text,
+      |    '' AS media_ref
+      |  FROM ks
+      |), ms AS (
+      |  SELECT doc_id, k * 2 + 1 AS sortord, 'image' AS kind, '' AS text,
+      |    'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST(k AS VARCHAR)
+      |      AS media_ref
+      |  FROM ks WHERE (doc_id + k) % 5 = 0
+      |), u AS (
+      |  SELECT * FROM ts UNION ALL SELECT * FROM ms
+      |)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sortord) - 1
+      |    AS INTEGER) AS ord,
+      |  kind, text, media_ref
+      |FROM u ORDER BY doc_id, ord""".stripMargin
+
+  val qHtmlExtract: String = qMarkupExtract
+  val qPdfExtract: String = qMarkupExtract
+
   val all: Map[String, String] = Map(
+    "q_html_extract" -> qHtmlExtract,
+    "q_pdf_extract" -> qPdfExtract,
     "q_boilerplate" -> qBoilerplate,
     "q_main_content" -> qMainContent,
     "q_token_counts" -> qTokenCounts,

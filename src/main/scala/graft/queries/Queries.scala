@@ -878,6 +878,84 @@ object Queries {
       .orderBy($"doc_id", $"ord")
   }
 
+  private def htmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Chunking shared by the raw-markup extraction queries: the same
+    * 3-token text chunks + media-after-chunk-k rule as [[spanBase]],
+    * materialized per doc in document order (Left = text, Right =
+    * media ref) so a markup writer can lay them out. */
+  private def markupItems(id: Long, text: String): Seq[Either[String, String]] = {
+    val w = text.split(" ").filter(_.nonEmpty)
+    val nspan = (w.length + 2) / 3
+    val items = Seq.newBuilder[Either[String, String]]
+    var k = 0
+    while (k < nspan) {
+      items += Left(w.slice(k * 3, k * 3 + 3).mkString(" "))
+      if ((id + k) % 5 == 0) items += Right(s"media://$id/$k")
+      k += 1
+    }
+    items.result()
+  }
+
+  /** RAW-HTML extraction round trip — the north rule's "HTML
+    * boilerplate strip" on actual markup: each document is rendered
+    * into a full HTML page (head/title/style/script, header+nav
+    * boilerplate, an `<article>` of `<p>`-wrapped 3-token chunks with
+    * `<img>` tags interleaved by the media rule, aside+footer), then
+    * parsed back by the from-scratch tokenizer
+    * ([[graft.pipeline.HtmlExtract]]): boilerplate subtrees and
+    * raw-text elements dropped, entities decoded, media spans carrying
+    * their `src`. The ORACLE computes the expected span sequence
+    * directly from the source table — synthesis→parse must be an exact
+    * identity on (kind, text, media_ref, order) for every document.
+    * Scale: synthesis and parse are both per-row maps — the query's
+    * only exchange is the final presentation sort. */
+  def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val html = new StringBuilder(256)
+        html ++= s"<!DOCTYPE html><html><head><title>Doc $id</title>"
+        html ++= "<style>p { margin: 0 }</style>"
+        html ++= "<script>var gt = 1 < 2 && \"<p>not content</p>\";</script></head>"
+        html ++= "<body><header><h1>Example Site</h1></header>"
+        html ++= "<nav><ul><li><a href=\"/\">Home</a></li></ul></nav><article>"
+        markupItems(id, text).foreach {
+          case Left(chunk) => html ++= s"<p>${htmlEscape(chunk)}</p>"
+          case Right(ref)  => html ++= s"""<img src="$ref" alt="">"""
+        }
+        html ++= "</article><aside>Related &amp; sponsored</aside>"
+        html ++= "<footer>&copy; 2026 Example</footer></body></html>"
+        graft.pipeline.HtmlExtract.extract(html.toString)
+          .map(sp => (id, sp.offset, sp.kind, sp.text, sp.media_ref))
+      }
+      .toDF("doc_id", "ord", "kind", "text", "media_ref")
+      .orderBy($"doc_id", $"ord")
+  }
+
+  /** PDF LAYOUT-PARSE round trip — the north rule's "PDF/layout
+    * parse": each document is written as a real single-page PDF
+    * ([[graft.pipeline.PdfGen]]: FlateDecode content stream, Tj/TJ
+    * text runs laid out top-to-bottom, image XObjects painted between
+    * lines by the media rule, valid xref), then parsed back by the
+    * from-scratch extractor ([[graft.pipeline.PdfExtract]]: recovery
+    * object scan, Inflater, content-stream tokenizer, positional
+    * reading-order sort). Oracle as in q_html_extract: expected spans
+    * computed from the source table; write→parse must be an identity.
+    * Scale: per-row maps only; final sort is presentation. */
+  def qPdfExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val pdf = graft.pipeline.PdfGen.pdf(markupItems(id, text))
+        graft.pipeline.PdfExtract.extract(pdf)
+          .map(sp => (id, sp.offset, sp.kind, sp.text, sp.media_ref))
+      }
+      .toDF("doc_id", "ord", "kind", "text", "media_ref")
+      .orderBy($"doc_id", $"ord")
+  }
+
   /** Readability/Boilerpipe-style MAIN-CONTENT block selection — the
     * north rule's "DOM heuristics" clause: per document, pick the
     * largest contiguous run of content spans (ties → earliest). The
