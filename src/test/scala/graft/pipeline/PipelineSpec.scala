@@ -198,6 +198,62 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("north-rule e2e from RAW MARKUP: html -> extract -> strip -> correct -> commit") {
+    import spark.implicits._
+    // render each generated doc as an HTML page: structural boilerplate
+    // (header/nav/footer — the DOM-heuristic strip's job) + a cross-doc
+    // repeated promo paragraph OUTSIDE any boilerplate container (the
+    // CCNet strip's job) + the doc's spans as <p>/<img> in order
+    val promo = "Subscribe to our newsletter today"
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val orig = DocGen.docs(spark, 30, seed = 33L, partitions = 4).collect().toSeq
+    val pages = orig.map { d =>
+      val sb = new StringBuilder
+      sb ++= "<html><head><title>t</title></head><body>"
+      sb ++= "<header><h1>Site</h1></header><nav><a href=\"/\">Home</a></nav>"
+      sb ++= s"<article><p>${esc(promo)}</p>"
+      d.spans.foreach { sp =>
+        if (sp.kind == "text") sb ++= s"<p>${esc(sp.text)}</p>"
+        else sb ++= s"""<img src="${sp.media_ref}">"""
+      }
+      sb ++= "</article><footer>Imprint</footer></body></html>"
+      (d.doc_id, sb.toString)
+    }
+    val extracted = HtmlExtract.docsFromHtml(spark.createDataset(pages))
+    // after the structural strip, each doc = promo + its original spans
+    // (media kinds all render as <img> → 'image'), sequential offsets
+    val expectExtracted = orig.map { d =>
+      d.doc_id -> (Span("text", promo, "", 0) +: d.spans.map(sp =>
+        if (sp.kind == "text") sp.copy(offset = sp.offset + 1)
+        else Span("image", "", sp.media_ref, sp.offset + 1)))
+    }.toMap
+    assert(extracted.collect().map(d => d.doc_id -> d.spans).toMap == expectExtracted)
+    // cross-doc strip: promo (df = 30) goes; organically repeated
+    // perturbed lines go too — recomputed independently JVM-side
+    val res = Boilerplate.strip(extracted, minDf = 2)
+    val boiler = expectExtracted.values.flatten
+      .collect { case sp if sp.kind == "text" => sp.text }
+      .groupBy(identity).collect { case (t, xs) if {
+        val docs = expectExtracted.count(_._2.exists(s => s.kind == "text" && s.text == t))
+        docs >= 2
+      } => t }.toSet
+    assert(boiler(promo))
+    val expectStripped = expectExtracted.view.mapValues(
+      _.filter(sp => sp.kind != "text" || !boiler(sp.text))).toMap
+    assert(res.docs.collect().map(d => d.doc_id -> d.spans).toMap == expectStripped)
+    // correct + snapshot-commit + read back: span sequences survive
+    val bc = CorrectionJob.broadcastModel(spark, model)
+    val corrected = CorrectionJob.correctDocs(res.docs, bc, None, Some(4))
+    val out = s"${Files.createTempDirectory("graft-html-e2e")}/table"
+    TableIO.writeDocs(corrected, out, buckets = 4)
+    val back = TableIO.readDocs(spark, out).collect().sortBy(_.doc_id).toSeq
+    back.foreach { d =>
+      val in = expectStripped(d.doc_id)
+      assert(d.spans.map(s => (s.kind, s.media_ref, s.offset)) ==
+        in.map(s => (s.kind, s.media_ref, s.offset)), d.doc_id)
+    }
+  }
+
   private object Files {
     def createTempDirectory(prefix: String): java.nio.file.Path =
       java.nio.file.Files.createTempDirectory(prefix)
