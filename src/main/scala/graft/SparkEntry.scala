@@ -60,6 +60,7 @@ object SparkEntry {
     // raw-markup extraction round trips (north rule: HTML strip, PDF/layout parse)
     "q_html_extract" -> (Queries.qHtmlExtract(_, _)),
     "q_pdf_extract" -> (Queries.qPdfExtract(_, _)),
+    "q_warc_extract" -> (Queries.qWarcExtract(_, _)),
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),
     "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),

@@ -837,10 +837,12 @@ object Oracles {
 
   val qHtmlExtract: String = qMarkupExtract
   val qPdfExtract: String = qMarkupExtract
+  val qWarcExtract: String = qMarkupExtract
 
   val all: Map[String, String] = Map(
     "q_html_extract" -> qHtmlExtract,
     "q_pdf_extract" -> qPdfExtract,
+    "q_warc_extract" -> qWarcExtract,
     "q_boilerplate" -> qBoilerplate,
     "q_main_content" -> qMainContent,
     "q_token_counts" -> qTokenCounts,

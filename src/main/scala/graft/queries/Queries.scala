@@ -911,25 +911,77 @@ object Queries {
     * identity on (kind, text, media_ref, order) for every document.
     * Scale: synthesis and parse are both per-row maps — the query's
     * only exchange is the final presentation sort. */
+  /** Full synthetic page for doc (id, text): boilerplate scaffolding
+    * (head/script/style, header+nav, aside+footer) around an article
+    * of [[markupItems]] — shared by the HTML and WARC round trips. */
+  private def htmlPage(id: Long, text: String): String = {
+    val html = new StringBuilder(256)
+    html ++= s"<!DOCTYPE html><html><head><title>Doc $id</title>"
+    html ++= "<style>p { margin: 0 }</style>"
+    html ++= "<script>var gt = 1 < 2 && \"<p>not content</p>\";</script></head>"
+    html ++= "<body><header><h1>Example Site</h1></header>"
+    html ++= "<nav><ul><li><a href=\"/\">Home</a></li></ul></nav><article>"
+    markupItems(id, text).foreach {
+      case Left(chunk) => html ++= s"<p>${htmlEscape(chunk)}</p>"
+      case Right(ref)  => html ++= s"""<img src="$ref" alt="">"""
+    }
+    html ++= "</article><aside>Related &amp; sponsored</aside>"
+    html ++= "<footer>&copy; 2026 Example</footer></body></html>"
+    html.toString
+  }
+
   def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val html = new StringBuilder(256)
-        html ++= s"<!DOCTYPE html><html><head><title>Doc $id</title>"
-        html ++= "<style>p { margin: 0 }</style>"
-        html ++= "<script>var gt = 1 < 2 && \"<p>not content</p>\";</script></head>"
-        html ++= "<body><header><h1>Example Site</h1></header>"
-        html ++= "<nav><ul><li><a href=\"/\">Home</a></li></ul></nav><article>"
-        markupItems(id, text).foreach {
-          case Left(chunk) => html ++= s"<p>${htmlEscape(chunk)}</p>"
-          case Right(ref)  => html ++= s"""<img src="$ref" alt="">"""
-        }
-        html ++= "</article><aside>Related &amp; sponsored</aside>"
-        html ++= "<footer>&copy; 2026 Example</footer></body></html>"
-        graft.pipeline.HtmlExtract.extract(html.toString)
+        graft.pipeline.HtmlExtract.extract(htmlPage(id, text))
           .map(sp => (id, sp.offset, sp.kind, sp.text, sp.media_ref))
       }
+      .toDF("doc_id", "ord", "kind", "text", "media_ref")
+      .orderBy($"doc_id", $"ord")
+  }
+
+  /** WARC container round trip — the crawl-archive SOURCE path in
+    * front of the HTML extraction: documents are packed into 8
+    * synthetic `.warc.gz` crawl shards (one gzip member per response
+    * record, the Common Crawl convention — [[graft.sources.WarcIO]]),
+    * then each shard is container-parsed (multi-member gunzip, WARC
+    * framing by Content-Length, HTTP header split) and every response
+    * page fed through the raw-HTML extractor. Oracle: the same
+    * expected span table as q_html_extract — pack→parse→extract must
+    * be an identity.
+    *
+    * Scale shape: the PARSE side is strictly per-blob (at 100 TB the
+    * shards are real files under a binaryFile scan and this is a
+    * shuffle-free mapPartitions); the one groupByKey exchange here
+    * belongs to the SYNTHESIS side only (building the shard blobs),
+    * which production replaces with the crawler's output. */
+  def qWarcExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shards = docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .groupByKey { case (id, _) => id % 8 }
+      .mapGroups { (shard, it) =>
+        val docs = it.toArray.sortBy(_._1) // deterministic record order
+        val out = new java.io.ByteArrayOutputStream(1 << 16)
+        docs.foreach { case (id, text) =>
+          graft.sources.WarcIO.writeResponse(out,
+            uri = s"https://example.org/doc/$id",
+            html = htmlPage(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            date = "2026-01-01T00:00:00Z", gzip = true)
+        }
+        (shard, out.toByteArray)
+      }
+    shards.flatMap { case (_, warc) =>
+      graft.sources.WarcIO.records(warc)
+        .filter(_.warcType == "response")
+        .flatMap { r =>
+          val uri = r.targetUri
+          val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+          val html = new String(r.httpBody, java.nio.charset.StandardCharsets.UTF_8)
+          graft.pipeline.HtmlExtract.extract(html)
+            .map(sp => (id, sp.offset, sp.kind, sp.text, sp.media_ref))
+        }
+    }
       .toDF("doc_id", "ord", "kind", "text", "media_ref")
       .orderBy($"doc_id", $"ord")
   }

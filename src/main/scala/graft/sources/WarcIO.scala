@@ -1,0 +1,167 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import scala.collection.mutable.ArrayBuffer
+
+/** From-scratch WARC 1.0 container reader/writer — the standard
+  * web-crawl archive format (ISO 28500; what Common-Crawl-shaped
+  * corpora arrive in), pure JVM. The extraction pipeline's raw input
+  * at 100 TB is exactly this: a directory of ~1 GiB `.warc.gz` files,
+  * each a CONCATENATION of per-record gzip members.
+  *
+  * Reader:
+  *   - transparent multi-member gzip (Java's GZIPInputStream consumes
+  *     concatenated members; plain uncompressed WARC also accepted);
+  *   - records parsed by the WARC framing rules: version line, CRLF
+  *     header block, `Content-Length` octets of payload, CRLF CRLF
+  *     separator — NOT by scanning for "WARC/1.0" in content (payload
+  *     bytes may contain it);
+  *   - `response` records carry an HTTP message as payload — status
+  *     line + headers are split off at the first CRLF CRLF and the
+  *     body returned as bytes (charset decoding is the caller's call);
+  *   - malformed trailing garbage ends the scan gracefully (a
+  *     truncated crawl file yields its complete prefix of records).
+  *
+  * Scale shape: one WARC file = one independent byte blob — parsing is
+  * strictly per-file (mapPartitions over a binaryFile scan in the
+  * query layer), no shuffle, no cross-file state; a 1000-executor
+  * cluster streams 100k files embarrassingly parallel. */
+object WarcIO {
+
+  /** One WARC record: headers (case-preserved names, first wins) and
+    * raw payload octets. */
+  final case class WarcRecord(headers: Map[String, String], payload: Array[Byte]) {
+    def header(name: String): Option[String] =
+      headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    def warcType: String = header("WARC-Type").getOrElse("")
+    def targetUri: String = header("WARC-Target-URI").getOrElse("")
+    /** HTTP body of a response record: payload after the first
+      * CRLF CRLF (the whole payload when no HTTP header block). */
+    def httpBody: Array[Byte] = {
+      val sep = indexOfCrlfCrlf(payload)
+      if (sep < 0) payload
+      else java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+    }
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Parse every record of one WARC file (gzip'd or plain). */
+  def records(file: Array[Byte]): Seq[WarcRecord] = {
+    val bytes =
+      if (!isGzip(file)) file
+      else {
+        val out = new ByteArrayOutputStream(file.length * 4)
+        try {
+          val in = new GZIPInputStream(new ByteArrayInputStream(file), 8192)
+          val buf = new Array[Byte](8192)
+          var k = in.read(buf)
+          while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
+        } catch { case _: java.io.IOException => () } // truncated member: keep prefix
+        out.toByteArray
+      }
+    val out = ArrayBuffer.empty[WarcRecord]
+    var i = 0
+    while (i < bytes.length) {
+      // version line
+      val lineEnd = indexOf(bytes, "\r\n", i)
+      if (lineEnd < 0) return out.toSeq
+      val version = new String(bytes, i, lineEnd - i, StandardCharsets.ISO_8859_1)
+      if (!version.startsWith("WARC/")) {
+        // skip stray blank lines between records; anything else = garbage tail
+        if (version.trim.isEmpty) { i = lineEnd + 2 }
+        else return out.toSeq
+      } else {
+        val headEnd = indexOfCrlfCrlf(bytes, lineEnd)
+        if (headEnd < 0) return out.toSeq
+        val headerBlock = new String(bytes, lineEnd + 2,
+          math.max(0, headEnd - lineEnd - 2), StandardCharsets.ISO_8859_1)
+        val headers = headerBlock.split("\r\n").toSeq.flatMap { line =>
+          val c = line.indexOf(':')
+          if (c <= 0) None else Some(line.substring(0, c).trim -> line.substring(c + 1).trim)
+        }
+        val hmap = headers.foldLeft(Map.empty[String, String]) {
+          case (m, (k, v)) => if (m.exists(_._1.equalsIgnoreCase(k))) m else m + (k -> v)
+        }
+        val len = hmap.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("Content-Length") => v.toLong
+        }.getOrElse(-1L)
+        val payloadStart = headEnd + 4
+        if (len < 0 || payloadStart + len > bytes.length) {
+          // missing/overrunning length: the record is truncated — stop
+          return out.toSeq
+        }
+        out += WarcRecord(hmap,
+          java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + len.toInt))
+        i = payloadStart + len.toInt
+        // per spec: two CRLFs terminate the record
+        while (i + 1 < bytes.length && bytes(i) == '\r' && bytes(i + 1) == '\n') i += 2
+      }
+    }
+    out.toSeq
+  }
+
+  private def indexOf(b: Array[Byte], needle: String, from: Int): Int = {
+    val n = needle.getBytes(StandardCharsets.ISO_8859_1)
+    var i = from
+    while (i + n.length <= b.length) {
+      var k = 0
+      while (k < n.length && b(i + k) == n(k)) k += 1
+      if (k == n.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Write one WARC `response` record (HTTP 200, text/html payload),
+    * per-record gzip member when `gzip` is set — the Common Crawl
+    * convention, so any single record of a 1 GiB file is independently
+    * decompressible. `date` is caller-provided (determinism: no wall
+    * clock in synthesis paths). */
+  def writeResponse(out: ByteArrayOutputStream, uri: String, html: Array[Byte],
+      date: String, gzip: Boolean): Unit = {
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${html.length}\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1)
+    val payload = new Array[Byte](http.length + html.length)
+    System.arraycopy(http, 0, payload, 0, http.length)
+    System.arraycopy(html, 0, payload, http.length, html.length)
+    val rec = new ByteArrayOutputStream(payload.length + 256)
+    rec.write(("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1))
+    rec.write(payload)
+    rec.write("\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+    if (!gzip) rec.writeTo(out)
+    else {
+      val gz = new GZIPOutputStream(out, 8192)
+      rec.writeTo(gz)
+      gz.close() // finishes the member (BAOS close is a no-op); the
+                 // caller appends the next member right after
+    }
+  }
+}
