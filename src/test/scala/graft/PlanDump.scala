@@ -52,6 +52,8 @@ object PlanDump extends App {
     "Raw-HTML extraction round trip: ONE documents FileScan (doc_id, text only — ReadSchema pruned) -> MapPartitions (synthesize page + from-scratch tokenizer parse, strictly per-row) -> presentation sort. The ONLY exchange is the final ORDER BY — extraction itself never shuffles, so docsFromHtml composes with any upstream partitioning at 10^12 docs.")
   dump("q_pdf_extract", graft.queries.Queries.qPdfExtract(spark, sf),
     "PDF layout-parse round trip: same shape as q_html_extract — per-row PdfGen write (Deflater) + PdfExtract recovery parse (Inflater, content-stream tokenizer, reading-order sort) inside ONE MapPartitions; the only exchange is the presentation ORDER BY.")
+  dump("q_warc_extract", graft.queries.Queries.qWarcExtract(spark, sf),
+    "WARC crawl-archive round trip: the ONE groupByKey exchange below belongs to the SYNTHESIS side only (packing docs into 8 .warc.gz shard blobs — production replaces this with the crawler's files under a binaryFile scan). The PARSE side — multi-member gunzip, Content-Length framing, HTTP split, HtmlExtract — is the SerializeFromObject/MapPartitions span above it: strictly per-blob, shuffle-free, so container parsing composes with any upstream partitioning at crawl scale.")
   dump("q_ngram_jaccard", graft.queries.Queries.qNgramJaccard(spark, sf),
     "Candidate pairs WITHOUT a shingle self-join, hot keys bounded BEFORE any doc-list materialization: the distinct (shingle, doc) rows are repartitioned ONCE by shingle and persisted; the df COUNT, the 2..20 cut (observed via jaccard_dfcut), the join-back and the now-bounded collect_set all ride that partitioning — the count-filter join sits UPSTREAM of the only collect_set, so a corpus-frequent shingle costs one count cell, never a corpus-sized buffer. The per-doc sizes joins carry NO broadcast hint (sizes grows linearly) — AQE broadcasts at this scale, shuffle-joins at 100x. Every InMemoryTableScan below reads the ONE cached aggregate; the parquet source is read once at execution.")
   dump("q_st_ngrams (distributed part)", graft.queries.Queries.stNgramsTop(spark, sf),
