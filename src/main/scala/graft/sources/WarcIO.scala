@@ -136,6 +136,33 @@ object WarcIO {
     -1
   }
 
+  /** PRODUCTION source path at crawl scale: a directory of `.warc.gz`
+    * shard files under Spark's `binaryFile` source (one row per file —
+    * only the `content` column is read), each blob container-parsed and
+    * every `response` page fed through the raw-HTML extractor, keyed by
+    * WARC-Target-URI. ONE flatMap, NO shuffle — a 1000-executor cluster
+    * streams 100k shards embarrassingly parallel, and the result
+    * composes directly with [[graft.pipeline.Boilerplate.strip]] and
+    * the correction job. (binaryFile caps files at 2 GiB — crawl shards
+    * are conventionally ~1 GiB, under the cap by design.) */
+  def docsFromWarc(spark: org.apache.spark.sql.SparkSession, path: String,
+      stripBoilerplate: Boolean = true): org.apache.spark.sql.Dataset[graft.pipeline.Doc] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap { blob =>
+        records(blob).iterator
+          .filter(_.warcType == "response")
+          .map { r =>
+            val html = new String(r.httpBody, StandardCharsets.UTF_8)
+            graft.pipeline.Doc(r.targetUri,
+              graft.pipeline.HtmlExtract.extract(html, stripBoilerplate))
+          }
+      }
+  }
+
   /** Write one WARC `response` record (HTTP 200, text/html payload),
     * per-record gzip member when `gzip` is set — the Common Crawl
     * convention, so any single record of a 1 GiB file is independently

@@ -254,6 +254,64 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("crawl-front e2e: .warc.gz shard FILES -> binaryFile scan -> extract -> strip -> correct -> commit") {
+    import spark.implicits._
+    // same page synthesis as the html e2e, but the pages are packed
+    // into real multi-member .warc.gz shard files on disk and re-enter
+    // through the PRODUCTION source path (WarcIO.docsFromWarc = Spark
+    // binaryFile scan + per-blob container parse)
+    val promo = "Subscribe to our newsletter today"
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val orig = DocGen.docs(spark, 30, seed = 47L, partitions = 4).collect().toSeq
+    def page(d: Doc): String = {
+      val sb = new StringBuilder
+      sb ++= "<html><head><title>t</title></head><body>"
+      sb ++= "<header><h1>Site</h1></header><nav><a href=\"/\">Home</a></nav>"
+      sb ++= s"<article><p>${esc(promo)}</p>"
+      d.spans.foreach { sp =>
+        if (sp.kind == "text") sb ++= s"<p>${esc(sp.text)}</p>"
+        else sb ++= s"""<img src="${sp.media_ref}">"""
+      }
+      sb ++= "</article><footer>Imprint</footer></body></html>"
+      sb.toString
+    }
+    val shardDir = Files.createTempDirectory("graft-warc-e2e")
+    orig.grouped(10).zipWithIndex.foreach { case (docs, i) =>
+      val out = new java.io.ByteArrayOutputStream(1 << 16)
+      docs.foreach { d =>
+        graft.sources.WarcIO.writeResponse(out,
+          uri = s"https://example.org/${d.doc_id}",
+          html = page(d).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          date = "2026-01-01T00:00:00Z", gzip = true)
+      }
+      java.nio.file.Files.write(
+        shardDir.resolve(f"shard-$i%05d.warc.gz"), out.toByteArray)
+    }
+    val extracted = graft.sources.WarcIO.docsFromWarc(spark, shardDir.toString)
+      .map(d => d.copy(doc_id = d.doc_id.stripPrefix("https://example.org/")))
+    val expectExtracted = orig.map { d =>
+      d.doc_id -> (Span("text", promo, "", 0) +: d.spans.map(sp =>
+        if (sp.kind == "text") sp.copy(offset = sp.offset + 1)
+        else Span("image", "", sp.media_ref, sp.offset + 1)))
+    }.toMap
+    assert(extracted.collect().map(d => d.doc_id -> d.spans).toMap == expectExtracted)
+    // downstream is the proven chain: cross-doc strip -> correct -> commit
+    val res = Boilerplate.strip(extracted, minDf = 2)
+    val stripped = res.docs.collect().map(d => d.doc_id -> d.spans).toMap
+    assert(stripped.forall { case (_, spans) => !spans.exists(_.text == promo) },
+      "promo (df=30) must be stripped")
+    val bc = CorrectionJob.broadcastModel(spark, model)
+    val corrected = CorrectionJob.correctDocs(res.docs, bc, None, Some(4))
+    val out = s"${Files.createTempDirectory("graft-warc-table")}/table"
+    TableIO.writeDocs(corrected, out, buckets = 4)
+    val back = TableIO.readDocs(spark, out).collect().sortBy(_.doc_id).toSeq
+    back.foreach { d =>
+      val in = stripped(d.doc_id)
+      assert(d.spans.map(s => (s.kind, s.media_ref, s.offset)) ==
+        in.map(s => (s.kind, s.media_ref, s.offset)), d.doc_id)
+    }
+  }
+
   private object Files {
     def createTempDirectory(prefix: String): java.nio.file.Path =
       java.nio.file.Files.createTempDirectory(prefix)
