@@ -61,6 +61,8 @@ object SparkEntry {
     "q_html_extract" -> (Queries.qHtmlExtract(_, _)),
     "q_pdf_extract" -> (Queries.qPdfExtract(_, _)),
     "q_warc_extract" -> (Queries.qWarcExtract(_, _)),
+    // crawl fetch-list dedup by canonical URL
+    "q_url_dedup" -> (Queries.qUrlDedup(_, _)),
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),
     "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),

@@ -839,10 +839,27 @@ object Oracles {
   val qPdfExtract: String = qMarkupExtract
   val qWarcExtract: String = qMarkupExtract
 
+  /** The canonical URL is stated DIRECTLY from doc_id — the Spark side
+    * must collapse all five messy syntactic variants onto exactly this
+    * form, so the oracle gates the canonicalization rules. */
+  val qUrlDedup: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    'https://' || CASE (doc_id % 97) % 3
+      |      WHEN 0 THEN 'news.example.org'
+      |      WHEN 1 THEN 'blog.example.org'
+      |      ELSE 'www.example.net' END
+      |    || '/articles/' || CAST(doc_id % 97 AS VARCHAR) AS url
+      |  FROM documents)
+      |SELECT url, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(doc_id) AS BIGINT) AS keep_id
+      |FROM c GROUP BY url ORDER BY url""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_html_extract" -> qHtmlExtract,
     "q_pdf_extract" -> qPdfExtract,
     "q_warc_extract" -> qWarcExtract,
+    "q_url_dedup" -> qUrlDedup,
     "q_boilerplate" -> qBoilerplate,
     "q_main_content" -> qMainContent,
     "q_token_counts" -> qTokenCounts,

@@ -986,6 +986,48 @@ object Queries {
       .orderBy($"doc_id", $"ord")
   }
 
+  /** Deterministic MESSY fetch-record URL for a doc: five syntactic
+    * variants (case, fragment, tracking params, userinfo + default
+    * port + duplicate/trailing slashes, dot-segments + percent-encoded
+    * unreserved chars) that all denote the same resource — the
+    * canonicalizer must collapse every one of them. */
+  private def messyUrl(id: Long): String = {
+    val g = id % 97
+    val host = (g % 3) match {
+      case 0 => "news.example.org"
+      case 1 => "blog.example.org"
+      case _ => "www.example.net"
+    }
+    (id % 5) match {
+      case 0 => s"https://$host/articles/$g"
+      case 1 => s"https://${host.toUpperCase}/articles/$g#section-2"
+      case 2 => s"https://$host/articles/$g?utm_source=feed&utm_medium=rss&fbclid=abc123"
+      case 3 => s"https://crawler@$host:443//articles//$g/"
+      case _ => s"https://$host/./articles/x/../" +
+        g.toString.map(d => s"%3$d").mkString // digits percent-encoded
+    }
+  }
+
+  /** URL canonicalization + crawl-list dedup ([[graft.ops.UrlOps]]) —
+    * step one of every crawl pipeline: the fetch list is deduped by
+    * CANONICAL URL before any content is hashed. Each doc gets a messy
+    * deterministic URL variant ([[messyUrl]]); the canonicalizer must
+    * collapse all five variant families onto the clean form the oracle
+    * states directly from doc_id — so the oracle gates the
+    * canonicalization rules themselves, not just the aggregation.
+    * Scale: one per-row typed projection then ONE partial+final hash
+    * aggregate on the canonical key; at 10^12 fetch records that single
+    * count-shuffle is the whole cost. */
+  def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsDf(s, dir).select($"doc_id").as[Long]
+      .map(id => (id, graft.ops.UrlOps.canonicalize(messyUrl(id))))
+      .toDF("doc_id", "url")
+      .groupBy($"url")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("keep_id"))
+      .orderBy($"url")
+  }
+
   /** PDF LAYOUT-PARSE round trip — the north rule's "PDF/layout
     * parse": each document is written as a real single-page PDF
     * ([[graft.pipeline.PdfGen]]: FlateDecode content stream, Tj/TJ
