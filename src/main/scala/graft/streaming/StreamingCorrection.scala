@@ -28,6 +28,38 @@ object StreamingCorrection {
     spark.readStream.schema(schema).parquet(path).as[Doc]
   }
 
+  /** CONTINUOUS crawl ingestion: `.warc.gz` shard files appearing under
+    * `path` are discovered by the binaryFile source's commit log, each
+    * container-parsed per blob and its response pages HTML-extracted to
+    * Doc rows — the streaming face of
+    * [[graft.sources.WarcIO.docsFromWarc]]. Exactly-once shard
+    * processing comes from the file-source checkpoint; the transform is
+    * stateless, so it composes with correctStream / dedupStream
+    * downstream. At 100 TB/day this is the front door: the crawler
+    * drops shards into the directory and the pipeline keeps up
+    * incrementally instead of re-scanning the corpus. */
+  def warcDocStream(spark: SparkSession, path: String,
+      stripBoilerplate: Boolean = true): Dataset[Doc] = {
+    import spark.implicits._
+    // binaryFile's schema is fixed by the source; streaming requires it
+    // stated explicitly
+    val binaryFileSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap { blob =>
+        graft.sources.WarcIO.records(blob).iterator
+          .filter(_.warcType == "response")
+          .map { r =>
+            val html = new String(r.httpBody, java.nio.charset.StandardCharsets.UTF_8)
+            Doc(r.targetUri, graft.pipeline.HtmlExtract.extract(html, stripBoilerplate))
+          }
+      }
+  }
+
   /** The flagship correction as a streaming transform (stateless; model
     * broadcast once, shared memo per executor). */
   def correctStream(docs: Dataset[Doc],

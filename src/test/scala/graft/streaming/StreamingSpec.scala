@@ -37,6 +37,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("continuous crawl ingestion: new .warc.gz shards are picked up incrementally") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-warc")
+    def writeShard(name: String, ids: Seq[Int]): Unit = {
+      val out = new java.io.ByteArrayOutputStream(1 << 14)
+      ids.foreach { id =>
+        val html = s"<html><body><nav>menu</nav><article><p>Page $id text.</p>" +
+          s"""<img src="img-$id.png"></article></body></html>"""
+        graft.sources.WarcIO.writeResponse(out,
+          uri = s"https://example.org/p/$id",
+          html = html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          date = "2026-01-01T00:00:00Z", gzip = true)
+      }
+      java.nio.file.Files.write(dir.resolve(name), out.toByteArray)
+    }
+    writeShard("shard-00000.warc.gz", Seq(1, 2, 3))
+    val q = StreamingCorrection
+      .toMemorySink(StreamingCorrection.warcDocStream(spark, dir.toString), "warc_docs")
+      .start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table("warc_docs").as[graft.pipeline.Doc]
+        .collect().sortBy(_.doc_id).toSeq
+      assert(got().map(_.doc_id) ==
+        Seq(1, 2, 3).map(i => s"https://example.org/p/$i"))
+      // a NEW shard arrives: only its pages are appended (no reprocessing)
+      writeShard("shard-00001.warc.gz", Seq(4, 5))
+      q.processAllAvailable()
+      val docs = got()
+      assert(docs.map(_.doc_id) ==
+        Seq(1, 2, 3, 4, 5).map(i => s"https://example.org/p/$i"))
+      // extraction semantics match the BATCH source path on the same dir
+      val batch = graft.sources.WarcIO.docsFromWarc(spark, dir.toString)
+        .collect().sortBy(_.doc_id).toSeq
+      assert(docs == batch)
+      // spans: nav stripped, text + media preserved in order
+      assert(docs.head.spans.map(s => (s.kind, s.text, s.media_ref)) ==
+        Seq(("text", "Page 1 text.", ""), ("image", "", "img-1.png")))
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup keeps first-seen content only") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream-dedup").toString
