@@ -61,8 +61,9 @@ object SparkEntry {
     "q_html_extract" -> (Queries.qHtmlExtract(_, _)),
     "q_pdf_extract" -> (Queries.qPdfExtract(_, _)),
     "q_warc_extract" -> (Queries.qWarcExtract(_, _)),
-    // crawl fetch-list dedup by canonical URL
+    // crawl fetch-list dedup by canonical URL; link-graph construction
     "q_url_dedup" -> (Queries.qUrlDedup(_, _)),
+    "q_link_graph" -> (Queries.qLinkGraph(_, _)),
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),
     "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),

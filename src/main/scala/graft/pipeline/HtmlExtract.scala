@@ -208,6 +208,63 @@ object HtmlExtract {
     out.toSeq
   }
 
+  /** All `<a href>` targets in document order — the link-extraction
+    * half of crawl-graph construction. Raw-text element content
+    * (script/style/…) and comments are skipped exactly like
+    * [[extract]] (a URL-shaped string inside JavaScript is NOT a
+    * link); boilerplate subtrees are NOT skipped — nav links are real
+    * edges in a crawl graph. `&amp;` in the attribute value is decoded
+    * (the entity URLs legally contain after HTML serialization). */
+  def links(html: String): Seq[String] = {
+    val n = html.length
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    while (i < n) {
+      if (html.charAt(i) != '<') i += 1
+      else {
+        var j = i + 1
+        if (j < n && html.charAt(j) == '!') {
+          if (html.startsWith("<!--", i)) {
+            val e = html.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
+          } else { val e = html.indexOf('>', j); i = if (e < 0) n else e + 1 }
+        } else if (j < n && html.charAt(j) == '?') {
+          val e = html.indexOf('>', j); i = if (e < 0) n else e + 1
+        } else {
+          val closing = j < n && html.charAt(j) == '/'
+          if (closing) j += 1
+          val ns = j
+          while (j < n && (Character.isLetterOrDigit(html.charAt(j)) || html.charAt(j) == '-')) j += 1
+          if (j == ns) i += 1 // stray '<'
+          else {
+            val name = html.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
+            val attrStart = j
+            var quote = 0.toChar
+            while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+              val ch = html.charAt(j)
+              if (quote != 0) { if (ch == quote) quote = 0 }
+              else if (ch == '"' || ch == '\'') quote = ch
+              j += 1
+            }
+            val attrEnd = j
+            val end = if (j < n) j + 1 else n
+            if (!closing && name == "a")
+              attrValue(html, attrStart, attrEnd, "href")
+                .filter(_.nonEmpty)
+                .foreach(h => out += h.replace("&amp;", "&"))
+            if (!closing && rawTextTags.contains(name) &&
+                !(attrEnd > attrStart && html.charAt(attrEnd - 1) == '/')) {
+              val close = "</" + name
+              var e = indexOfIgnoreCase(html, close, end)
+              if (e < 0) i = n
+              else { e = html.indexOf('>', e); i = if (e < 0) n else e + 1 }
+            } else i = end
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** Value of attribute `attr` inside the tag body [from, until). */
   private def attrValue(s: String, from: Int, until: Int, attr: String): Option[String] = {
     var i = from

@@ -855,11 +855,36 @@ object Oracles {
       |       CAST(min(doc_id) AS BIGINT) AS keep_id
       |FROM c GROUP BY url ORDER BY url""".stripMargin
 
+  /** Both canonical edges stated directly from doc_id: the nav link
+    * (dot-segment path resolved to root, tracking param stripped,
+    * &amp; decoded, params sorted) and the messy-variant article link.
+    * The script decoy must contribute NO edge. */
+  val qLinkGraph: String =
+    """WITH e AS (
+      |  SELECT
+      |    CASE (doc_id % 97) % 3 WHEN 0 THEN 'news.example.org'
+      |      WHEN 1 THEN 'blog.example.org' ELSE 'www.example.net' END AS src_host,
+      |    'https://www.example.net/?page=' || CAST(doc_id % 4 AS VARCHAR)
+      |      || '&sort=asc' AS dst_url
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT
+      |    CASE (doc_id % 97) % 3 WHEN 0 THEN 'news.example.org'
+      |      WHEN 1 THEN 'blog.example.org' ELSE 'www.example.net' END,
+      |    'https://' || CASE ((doc_id * 7 + 13) % 97) % 3
+      |      WHEN 0 THEN 'news.example.org'
+      |      WHEN 1 THEN 'blog.example.org' ELSE 'www.example.net' END
+      |    || '/articles/' || CAST((doc_id * 7 + 13) % 97 AS VARCHAR)
+      |  FROM documents)
+      |SELECT src_host, dst_url, CAST(count(*) AS BIGINT) AS n
+      |FROM e GROUP BY src_host, dst_url ORDER BY src_host, dst_url""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_html_extract" -> qHtmlExtract,
     "q_pdf_extract" -> qPdfExtract,
     "q_warc_extract" -> qWarcExtract,
     "q_url_dedup" -> qUrlDedup,
+    "q_link_graph" -> qLinkGraph,
     "q_boilerplate" -> qBoilerplate,
     "q_main_content" -> qMainContent,
     "q_token_counts" -> qTokenCounts,

@@ -991,14 +991,15 @@ object Queries {
     * port + duplicate/trailing slashes, dot-segments + percent-encoded
     * unreserved chars) that all denote the same resource — the
     * canonicalizer must collapse every one of them. */
-  private def messyUrl(id: Long): String = {
-    val g = id % 97
-    val host = (g % 3) match {
-      case 0 => "news.example.org"
-      case 1 => "blog.example.org"
-      case _ => "www.example.net"
-    }
-    (id % 5) match {
+  private def articleHost(g: Long): String = (g % 3) match {
+    case 0 => "news.example.org"
+    case 1 => "blog.example.org"
+    case _ => "www.example.net"
+  }
+
+  private def messyArticleUrl(variant: Long, g: Long): String = {
+    val host = articleHost(g)
+    variant match {
       case 0 => s"https://$host/articles/$g"
       case 1 => s"https://${host.toUpperCase}/articles/$g#section-2"
       case 2 => s"https://$host/articles/$g?utm_source=feed&utm_medium=rss&fbclid=abc123"
@@ -1007,6 +1008,8 @@ object Queries {
         g.toString.map(d => s"%3$d").mkString // digits percent-encoded
     }
   }
+
+  private def messyUrl(id: Long): String = messyArticleUrl(id % 5, id % 97)
 
   /** URL canonicalization + crawl-list dedup ([[graft.ops.UrlOps]]) —
     * step one of every crawl pipeline: the fetch list is deduped by
@@ -1026,6 +1029,42 @@ object Queries {
       .groupBy($"url")
       .agg(count(lit(1)).as("n"), min($"doc_id").as("keep_id"))
       .orderBy($"url")
+  }
+
+  /** LINK-GRAPH construction — [[graft.pipeline.HtmlExtract.links]]
+    * composed with [[graft.ops.UrlOps.canonicalize]], the two halves of
+    * crawl-graph building. Each doc renders a page with a nav link
+    * (tracking param + `&amp;` + dot-segment path) and an article link
+    * in one of the five messy [[messyArticleUrl]] variant families,
+    * plus a DECOY: a URL-shaped string inside `<script>` that the
+    * raw-text skip must NOT extract. The oracle states both canonical
+    * edges directly from doc_id — so it gates link extraction, entity
+    * decoding in attributes, the script decoy, and canonicalization in
+    * one pass. Scale: per-row synthesize+parse flatMap then ONE
+    * partial+final hash aggregate on the edge key — at 10^12 pages the
+    * edge-count shuffle is the entire cost (and the real edge table is
+    * Zipf-skewed by dst; the count aggregate is skew-immune because
+    * partials combine map-side). */
+  def qLinkGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsDf(s, dir).select($"doc_id").as[Long]
+      .flatMap { id =>
+        val g = id % 97
+        val g2 = (id * 7 + 13) % 97
+        val html =
+          "<html><head><script>var fake = '<a href=\"https://evil.example/x\">';" +
+          "</script></head><body>" +
+          s"""<nav><a href="https://www.example.net/index/../?sort=asc&amp;page=${id % 4}&utm_campaign=nav">All</a></nav>""" +
+          s"""<article><p>See <a href='${messyArticleUrl(id % 5, g2)}'>related</a>.</p></article>""" +
+          "</body></html>"
+        val src = articleHost(g)
+        graft.pipeline.HtmlExtract.links(html)
+          .map(h => (src, graft.ops.UrlOps.canonicalize(h)))
+      }
+      .toDF("src_host", "dst_url")
+      .groupBy($"src_host", $"dst_url")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"src_host", $"dst_url")
   }
 
   /** PDF LAYOUT-PARSE round trip — the north rule's "PDF/layout

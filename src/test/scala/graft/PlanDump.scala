@@ -54,6 +54,8 @@ object PlanDump extends App {
     "PDF layout-parse round trip: same shape as q_html_extract — per-row PdfGen write (Deflater) + PdfExtract recovery parse (Inflater, content-stream tokenizer, reading-order sort) inside ONE MapPartitions; the only exchange is the presentation ORDER BY.")
   dump("q_url_dedup", graft.queries.Queries.qUrlDedup(spark, sf),
     "Canonical-URL fetch-list dedup: ONE pruned FileScan (doc_id only) -> typed per-row canonicalization map -> partial+final HashAggregate on the canonical key. The single count-shuffle is the entire cost at 10^12 fetch records; no join, no window, no driver state.")
+  dump("q_link_graph", graft.queries.Queries.qLinkGraph(spark, sf),
+    "Link-graph construction (HtmlExtract.links + UrlOps.canonicalize): per-row synthesize+parse flatMap -> ONE partial+final HashAggregate on the (src_host, dst_url) edge key. Map-side partials make the count skew-immune on Zipf-distributed dst keys; no join, no window.")
   dump("q_warc_extract", graft.queries.Queries.qWarcExtract(spark, sf),
     "WARC crawl-archive round trip: the ONE groupByKey exchange below belongs to the SYNTHESIS side only (packing docs into 8 .warc.gz shard blobs — production replaces this with the crawler's files under a binaryFile scan). The PARSE side — multi-member gunzip, Content-Length framing, HTTP split, HtmlExtract — is the SerializeFromObject/MapPartitions span above it: strictly per-blob, shuffle-free, so container parsing composes with any upstream partitioning at crawl scale.")
   dump("q_ngram_jaccard", graft.queries.Queries.qNgramJaccard(spark, sf),

@@ -106,6 +106,29 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"extraction must not shuffle:\n$plan")
   }
 
+  test("links: document order, quoted and unquoted href, &amp; decoded, empty href dropped") {
+    val html = "<body><a href=\"https://a.example/x?p=1&amp;q=2\">one</a>" +
+      "<a href='https://b.example/y'>two</a><a href=/rel/z>three</a>" +
+      "<a href=\"\">empty</a><a name=anchor>no href</a></body>"
+    assert(HtmlExtract.links(html) ===
+      Seq("https://a.example/x?p=1&q=2", "https://b.example/y", "/rel/z"))
+  }
+
+  test("links: raw-text content and comments are not link sources; nav links ARE") {
+    val html = "<head><script>var s = '<a href=\"https://evil.example/x\">';</script></head>" +
+      "<body><!-- <a href=\"https://commented.example/\"> -->" +
+      "<nav><a href=\"https://nav.example/\">home</a></nav>" +
+      "<p>text with a literal &lt;a href&gt; entity</p></body>"
+    assert(HtmlExtract.links(html) === Seq("https://nav.example/"))
+  }
+
+  test("links: closing </a> and a '>' inside a quoted attribute do not confuse the scan") {
+    val html = "<a href=\"https://h.example/a\" title=\"x > y\">t</a></a>" +
+      "<a href=\"https://h.example/b\">u</a>"
+    assert(HtmlExtract.links(html) ===
+      Seq("https://h.example/a", "https://h.example/b"))
+  }
+
   test("extraction composes with the cross-doc boilerplate strip") {
     import spark.implicits._
     val page = (id: Int) =>
