@@ -64,6 +64,7 @@ object SparkEntry {
     // crawl fetch-list dedup by canonical URL; link-graph construction
     "q_url_dedup" -> (Queries.qUrlDedup(_, _)),
     "q_link_graph" -> (Queries.qLinkGraph(_, _)),
+    "q_pagerank" -> (Queries.qPagerank(_, _)),
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),
     "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),

@@ -879,12 +879,46 @@ object Oracles {
       |SELECT src_host, dst_url, CAST(count(*) AS BIGINT) AS n
       |FROM e GROUP BY src_host, dst_url ORDER BY src_host, dst_url""".stripMargin
 
+  /** Integer fixed-point PageRank: every operation is an integer
+    * mul/div (DuckDB's `//` = Spark's `div` for non-negative longs),
+    * so three unrolled iterations are bit-identical across engines —
+    * the oracle gates the ITERATION, not a float approximation. */
+  val qPagerank: String = {
+    val host = "CASE (%s) %% 3 WHEN 0 THEN 'news.example.org' " +
+      "WHEN 1 THEN 'blog.example.org' ELSE 'www.example.net' END"
+    val srcUrl = s"'https://' || ${host.format("doc_id % 97")} || '/articles/' || CAST(doc_id % 97 AS VARCHAR)"
+    val dstUrl = s"'https://' || ${host.format("(doc_id * 7 + 13) % 97")} || '/articles/' || CAST((doc_id * 7 + 13) % 97 AS VARCHAR)"
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (SELECT n.url, CAST(150000000000 + COALESCE(s.c, 0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS url,
+         |           CAST(sum(((p.r * e.w) // o.ow) * 85 // 100) AS BIGINT) AS c
+         |    FROM e JOIN $prev p ON e.src = p.url JOIN o ON o.src = e.src
+         |    GROUP BY e.dst) s ON n.url = s.url)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT $srcUrl AS src,
+       |           'https://www.example.net/?page=' || CAST(doc_id % 4 AS VARCHAR) || '&sort=asc' AS dst
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT $srcUrl, $dstUrl FROM documents)
+       |  GROUP BY src, dst),
+       |nodes AS (SELECT DISTINCT url FROM (SELECT src AS url FROM e UNION ALL SELECT dst FROM e)),
+       |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+       |r0 AS (SELECT url, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT url, r AS rank FROM r3 ORDER BY url""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q_html_extract" -> qHtmlExtract,
     "q_pdf_extract" -> qPdfExtract,
     "q_warc_extract" -> qWarcExtract,
     "q_url_dedup" -> qUrlDedup,
     "q_link_graph" -> qLinkGraph,
+    "q_pagerank" -> qPagerank,
     "q_boilerplate" -> qBoilerplate,
     "q_main_content" -> qMainContent,
     "q_token_counts" -> qTokenCounts,

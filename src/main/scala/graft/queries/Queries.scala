@@ -1067,6 +1067,62 @@ object Queries {
       .orderBy($"src_host", $"dst_url")
   }
 
+  /** Weighted PAGERANK over the crawl link graph — the canonical
+    * iterative Spark workload, made EXACTLY cross-engine-checkable by
+    * running the whole iteration in 10^-12 FIXED-POINT integer
+    * arithmetic: rank_0 = 10^12 per node; per edge the damped
+    * contribution is ((r*w div outw) * 85) div 100 — every operation an
+    * integer mul/div whose result is independent of aggregation order,
+    * so three iterations land on bit-identical longs in Spark and
+    * DuckDB (doubles would diverge by summation order). Dangling nodes
+    * (the nav landing pages) keep the base rank — sink-drop semantics,
+    * the standard simplification when ranks need not sum to 1.
+    *
+    * Edges are the canonical-URL edge list the link-graph step
+    * produces (article(g) -> article(g2), article(g) -> nav page),
+    * weighted by multiplicity. Scale shape: the weighted edge list +
+    * out-weights are built ONCE and persisted; each iteration is one
+    * src-keyed join (ranks are node-sized, edges dominate — AQE
+    * broadcast at small SF, co-partitioned shuffle join at 100x where
+    * production would bucket edges by src) followed by ONE dst-keyed
+    * partial+final sum. Three iterations = three shuffles on a
+    * node-sized relation; lineage stays shallow so no checkpoint is
+    * needed (at 10^2 iterations production would localCheckpoint every
+    * ~10). */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val SCALE = 1000000000000L
+    val BASE  = 150000000000L // 0.15 * SCALE
+    val edges = registerCache(
+      docsDf(s, dir).select($"doc_id").as[Long]
+        .flatMap { id =>
+          val g = id % 97
+          val g2 = (id * 7 + 13) % 97
+          val src = s"https://${articleHost(g)}/articles/$g"
+          Seq(
+            (src, s"https://www.example.net/?page=${id % 4}&sort=asc"),
+            (src, s"https://${articleHost(g2)}/articles/$g2"))
+        }
+        .toDF("src", "dst")
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = edges.select($"src".as("url"))
+      .union(edges.select($"dst".as("url"))).distinct()
+    val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
+    val ew = edges.join(outw, "src") // (src, dst, w, ow)
+    var ranks = nodes.select($"url", lit(SCALE).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = ew.join(ranks, ew("src") === ranks("url"))
+        .select($"dst".as("url"),
+          expr("((r * w) div ow) * 85 div 100").as("c"))
+        .groupBy($"url").agg(sum($"c").as("c"))
+      ranks = nodes.join(contrib, Seq("url"), "left")
+        .select($"url", (lit(BASE) + coalesce($"c", lit(0L))).as("rank"))
+        .withColumnRenamed("rank", "r")
+    }
+    ranks.select($"url", $"r".as("rank")).orderBy($"url")
+  }
+
   /** PDF LAYOUT-PARSE round trip — the north rule's "PDF/layout
     * parse": each document is written as a real single-page PDF
     * ([[graft.pipeline.PdfGen]]: FlateDecode content stream, Tj/TJ
