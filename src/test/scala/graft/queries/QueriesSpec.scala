@@ -116,6 +116,28 @@ class QueriesSpec extends AnyFunSuite {
       s"global row_number window funnels all grams through ONE partition:\n$plan")
   }
 
+  test("plan shape: url-dedup and link-graph are scan -> map -> ONE hash agg (no join/window)") {
+    for ((name, df) <- Seq(
+        "q_url_dedup" -> Queries.qUrlDedup(spark, sf),
+        "q_link_graph" -> Queries.qLinkGraph(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("HashAggregate"), s"$name:\n$plan")
+      assert(!plan.contains("Join"), s"$name must not join:\n$plan")
+      assert(!plan.contains("Window"), s"$name must not use a window:\n$plan")
+      assert(plan.contains("partial_count"),
+        s"$name count must combine map-side (skew immunity):\n$plan")
+    }
+  }
+
+  test("plan shape: pagerank iterations reuse the persisted edge list; no global window") {
+    val plan = Queries.qPagerank(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"every iteration must read the cached weighted edge list:\n$plan")
+    assert(!plan.contains("Window"), s"no global window in pagerank:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"contribution sums must combine map-side:\n$plan")
+  }
+
   test("plan shape: minhash signature agg stays a HashAggregate (BIGINT sigs)") {
     val plan = Queries.qDedupMinhash(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), plan)
