@@ -65,6 +65,7 @@ object SparkEntry {
     "q_url_dedup" -> (Queries.qUrlDedup(_, _)),
     "q_link_graph" -> (Queries.qLinkGraph(_, _)),
     "q_pagerank" -> (Queries.qPagerank(_, _)),
+    "q_robots_filter" -> (Queries.qRobotsFilter(_, _)),
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),
     "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),

@@ -879,6 +879,22 @@ object Oracles {
       |SELECT src_host, dst_url, CAST(count(*) AS BIGINT) AS n
       |FROM e GROUP BY src_host, dst_url ORDER BY src_host, dst_url""".stripMargin
 
+  /** The allowed fetch set restated from doc_id arithmetic: the news
+    * prefix rule = NOT LIKE '1%', the blog wildcard+anchor Allow
+    * overriding Disallow / = LIKE '%3', the rule-less graftbot group
+    * on www = everything allowed. */
+  val qRobotsFilter: String =
+    """WITH c AS (SELECT doc_id % 97 AS g FROM documents)
+      |SELECT 'https://' || CASE g % 3 WHEN 0 THEN 'news.example.org'
+      |         WHEN 1 THEN 'blog.example.org' ELSE 'www.example.net' END
+      |       || '/articles/' || CAST(g AS VARCHAR) AS url,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM c
+      |WHERE (g % 3 = 0 AND CAST(g AS VARCHAR) NOT LIKE '1%')
+      |   OR (g % 3 = 1 AND CAST(g AS VARCHAR) LIKE '%3')
+      |   OR (g % 3 = 2)
+      |GROUP BY url ORDER BY url""".stripMargin
+
   /** Integer fixed-point PageRank: every operation is an integer
     * mul/div (DuckDB's `//` = Spark's `div` for non-negative longs),
     * so three unrolled iterations are bit-identical across engines —
@@ -919,6 +935,7 @@ object Oracles {
     "q_url_dedup" -> qUrlDedup,
     "q_link_graph" -> qLinkGraph,
     "q_pagerank" -> qPagerank,
+    "q_robots_filter" -> qRobotsFilter,
     "q_boilerplate" -> qBoilerplate,
     "q_main_content" -> qMainContent,
     "q_token_counts" -> qTokenCounts,

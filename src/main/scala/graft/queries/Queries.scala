@@ -1067,6 +1067,50 @@ object Queries {
       .orderBy($"src_host", $"dst_url")
   }
 
+  /** Deterministic per-host robots.txt for the synthetic crawl: the
+    * three host families exercise distinct RFC 9309 features — plain
+    * prefix Disallow under the `*` group; a specific-agent group where
+    * a long `Allow: …*3$` wildcard+anchor overrides `Disallow: /` by
+    * the longest-match rule (plus a decoy `*` group the specific agent
+    * must NOT fall into); and a group holding only an unknown field
+    * (Crawl-delay) so "no rules" = allow-all. */
+  private def robotsFor(host: String): String = host match {
+    case "news.example.org" =>
+      "User-agent: *\nDisallow: /articles/1 # decade embargo"
+    case "blog.example.org" =>
+      "User-agent: graftbot\nDisallow: /\nAllow: /articles/*3$\n" +
+        "User-agent: *\nDisallow:"
+    case _ =>
+      "User-agent: otherbot\nDisallow: /\nUser-agent: graftbot\nCrawl-delay: 2"
+  }
+
+  /** Crawl POLITENESS filter — [[graft.ops.Robots]] (RFC 9309) applied
+    * to the canonical fetch list before fetching. The oracle restates
+    * the allowed set from doc_id arithmetic (prefix rule → NOT LIKE
+    * '1%', wildcard+anchor rule → LIKE '%3', rule-less group → all),
+    * so group selection, longest-match precedence, `*`/`$` matching
+    * and the allow tie-break are all oracle-gated. Scale shape: the
+    * rules side is HOST-sized (~10^7 when URLs are 10^12) — production
+    * broadcast-joins (host → robots) against the fetch list and the
+    * URL side never shuffles; here the deterministic per-host rules
+    * are inlined in the same per-row map, preserving that shape
+    * (scan → map → one hash agg). */
+  def qRobotsFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsDf(s, dir).select($"doc_id").as[Long]
+      .flatMap { id =>
+        val g = id % 97
+        val host = articleHost(g)
+        val path = s"/articles/$g"
+        if (graft.ops.Robots.isAllowed(robotsFor(host), "graftbot/1.0", path))
+          Iterator.single(s"https://$host$path")
+        else Iterator.empty
+      }
+      .toDF("url")
+      .groupBy($"url").agg(count(lit(1)).as("n"))
+      .orderBy($"url")
+  }
+
   /** Weighted PAGERANK over the crawl link graph — the canonical
     * iterative Spark workload, made EXACTLY cross-engine-checkable by
     * running the whole iteration in 10^-12 FIXED-POINT integer
