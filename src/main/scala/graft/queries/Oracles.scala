@@ -879,6 +879,16 @@ object Oracles {
       |SELECT src_host, dst_url, CAST(count(*) AS BIGINT) AS n
       |FROM e GROUP BY src_host, dst_url ORDER BY src_host, dst_url""".stripMargin
 
+  /** The repaired text IS the original: repair∘corrupt must be the
+    * identity, so the oracle simply restates text + suffix. */
+  val qFixMojibake: String =
+    """SELECT doc_id, text || CASE doc_id % 4
+      |  WHEN 0 THEN ' Grüße aus Köln'
+      |  WHEN 1 THEN ' déjà vu — naïve'
+      |  WHEN 2 THEN ' Œuvre — „quote“'
+      |  ELSE '' END AS text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** The allowed fetch set restated from doc_id arithmetic: the news
     * prefix rule = NOT LIKE '1%', the blog wildcard+anchor Allow
     * overriding Disallow / = LIKE '%3', the rule-less graftbot group
@@ -936,6 +946,7 @@ object Oracles {
     "q_link_graph" -> qLinkGraph,
     "q_pagerank" -> qPagerank,
     "q_robots_filter" -> qRobotsFilter,
+    "q_fix_mojibake" -> qFixMojibake,
     "q_boilerplate" -> qBoilerplate,
     "q_main_content" -> qMainContent,
     "q_token_counts" -> qTokenCounts,

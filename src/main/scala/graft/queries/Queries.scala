@@ -1067,6 +1067,39 @@ object Queries {
       .orderBy($"src_host", $"dst_url")
   }
 
+  /** Mojibake-synthesis suffixes: non-ASCII payloads whose UTF-8 byte
+    * images avoid cp1252's five undefined positions (0x81 0x8D 0x8F
+    * 0x90 0x9D) so the cp1252 corruption round trip is well-defined;
+    * the last entry keeps a pure-ASCII row (repair must be a no-op). */
+  private val mojibakeSuffixes: Array[String] = Array(
+    " Grüße aus Köln", " déjà vu — naïve", " Œuvre — „quote“", "")
+
+  /** ENCODING REPAIR — webtext arrives double-encoded ("GrÃ¼ÃŸe",
+    * "â€™") constantly; [[TextOps.fixMojibake]] is the deterministic
+    * ftfy core case: map chars back to bytes (Latin-1 positions OR
+    * cp1252 printables), strict-UTF-8 decode, repair only on success.
+    * Each doc's text gets a deterministic non-ASCII suffix, is
+    * CORRUPTED through a real mis-decode (even ids: Latin-1, odd ids:
+    * windows-1252 — both classic paths), then repaired; the oracle
+    * states the ORIGINAL text directly, so repair∘corrupt must be the
+    * identity on every row, and the pure-ASCII row pins the no-op.
+    * Scale: per-row map, no shuffle, presentation sort only. */
+  def qFixMojibake(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) =>
+        val orig = t + mojibakeSuffixes((id % 4).toInt)
+        val cs =
+          if (id % 2 == 0) java.nio.charset.StandardCharsets.ISO_8859_1
+          else java.nio.charset.Charset.forName("windows-1252")
+        val garbled = new String(
+          orig.getBytes(java.nio.charset.StandardCharsets.UTF_8), cs)
+        (id, TextOps.fixMojibake(garbled))
+      }
+      .toDF("doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic per-host robots.txt for the synthetic crawl: the
     * three host families exercise distinct RFC 9309 features — plain
     * prefix Disallow under the `*` group; a specific-agent group where

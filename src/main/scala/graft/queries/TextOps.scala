@@ -151,4 +151,50 @@ object TextOps {
       val lit = p.mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product($col, ($lit)[1:len($col)]) > 0 THEN CAST(${1L << h} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
+
+  /** Windows-1252 printable characters at byte positions 0x80–0x9F
+    * (where ISO-8859-1 has C1 controls) → their byte value. Mojibake
+    * produced by "UTF-8 bytes decoded as cp1252" surfaces these chars;
+    * the inverse map recovers the original bytes. */
+  private val cp1252Inverse: Map[Char, Int] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
+
+  /** Mojibake repair (the ftfy core case): text whose characters are
+    * really UTF-8 BYTES mis-decoded as Latin-1 OR Windows-1252
+    * ("GrÃ¼ÃŸe" → "Grüße", "â€™" → "’"). Every char must map back to
+    * a byte — chars < 0x100 by code point (covers the Latin-1 path,
+    * incl. C1 controls), cp1252 printables via [[cp1252Inverse]] (the
+    * cp1252 path) — and the byte sequence must STRICT-decode as UTF-8;
+    * otherwise the text is returned untouched (a real "café" is not
+    * valid UTF-8 bytes, so legitimate Latin-1 text never false-fixes;
+    * pure ASCII round-trips to itself). One pass, no heuristics —
+    * the deterministic subset of ftfy suitable for an oracle gate. */
+  def fixMojibake(s: String): String = {
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    var sawHigh = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val b =
+        if (c < 0x100) c.toInt
+        else cp1252Inverse.getOrElse(c, -1)
+      if (b < 0) return s // unmappable char: not mojibake
+      if (b >= 0x80) sawHigh = true
+      bytes(i) = b.toByte
+      i += 1
+    }
+    if (!sawHigh) return s // pure ASCII: nothing to repair
+    try {
+      val dec = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    } catch { case _: java.nio.charset.CharacterCodingException => s }
+  }
 }

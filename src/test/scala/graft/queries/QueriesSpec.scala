@@ -97,6 +97,23 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("fixMojibake: repairs Latin-1 and cp1252 mis-decodes; never false-fixes") {
+    import java.nio.charset.{Charset, StandardCharsets}
+    def corrupt(s: String, cs: Charset) =
+      new String(s.getBytes(StandardCharsets.UTF_8), cs)
+    val cp1252 = Charset.forName("windows-1252")
+    for (orig <- Seq("Grüße aus Köln", "déjà — „quote“", "€ ’twas naïve…")) {
+      assert(TextOps.fixMojibake(corrupt(orig, StandardCharsets.ISO_8859_1)) == orig)
+      assert(TextOps.fixMojibake(corrupt(orig, cp1252)) == orig)
+    }
+    assert(TextOps.fixMojibake("plain ascii") == "plain ascii")
+    // legitimate single-byte text is NOT a valid UTF-8 byte image -> untouched
+    assert(TextOps.fixMojibake("café") == "café")
+    assert(TextOps.fixMojibake("ä–") == "ä–")
+    // chars outside Latin-1 + cp1252 printables cannot be mojibake -> untouched
+    assert(TextOps.fixMojibake("日本語") == "日本語")
+  }
+
   test("plan shape: scans prune columns (documents: only needed columns read)") {
     val plan = Queries.qTokenCounts(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema"))
