@@ -977,8 +977,7 @@ object Queries {
         .flatMap { r =>
           val uri = r.targetUri
           val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
-          val html = new String(r.httpBody, java.nio.charset.StandardCharsets.UTF_8)
-          graft.pipeline.HtmlExtract.extract(html)
+          graft.pipeline.HtmlExtract.extract(r.htmlText)
             .map(sp => (id, sp.offset, sp.kind, sp.text, sp.media_ref))
         }
     }

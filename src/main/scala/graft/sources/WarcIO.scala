@@ -44,6 +44,18 @@ object WarcIO {
       if (sep < 0) payload
       else java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
     }
+    /** HTTP header block of a response record ("" when none). */
+    def httpHeaders: String = {
+      val sep = indexOfCrlfCrlf(payload)
+      if (sep < 0) ""
+      else new String(payload, 0, sep, StandardCharsets.ISO_8859_1)
+    }
+    /** Decoded HTML of a response record, honoring the declared
+      * charset ([[WarcIO.sniffCharset]]). */
+    def htmlText: String = {
+      val body = httpBody
+      new String(body, WarcIO.sniffCharset(httpHeaders, body))
+    }
   }
 
   private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
@@ -136,6 +148,66 @@ object WarcIO {
     -1
   }
 
+  /** Charset of an HTTP-delivered HTML page, WHATWG-style precedence:
+    * 1. `charset=` in the Content-Type response header;
+    * 2. `<meta charset="…">` or `<meta http-equiv=Content-Type
+    *    content="…charset=…">` within the first 1024 body bytes
+    *    (scanned as ASCII — charset names are ASCII by definition);
+    * 3. UTF-8 (the modern web default — and a superset of ASCII, so
+    *    undeclared legacy ASCII pages decode identically).
+    * Unknown/unsupported charset names fall back to UTF-8 rather than
+    * throwing — a crawl must never die on a bogus declaration. */
+  def sniffCharset(httpHeaders: String, body: Array[Byte]): java.nio.charset.Charset = {
+    def parse(name: String): Option[java.nio.charset.Charset] = {
+      val n = name.trim.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("'").stripSuffix("'").trim
+      if (n.isEmpty) None
+      else try {
+        if (java.nio.charset.Charset.isSupported(n))
+          Some(java.nio.charset.Charset.forName(n))
+        else None
+      } catch { case _: java.nio.charset.IllegalCharsetNameException => None }
+    }
+    def charsetParam(s: String): Option[String] = {
+      val i = indexOfIgnoreCaseStr(s, "charset=")
+      if (i < 0) None
+      else {
+        val from = i + "charset=".length
+        var j = from
+        while (j < s.length && ";, \t\r\n\"'>".indexOf(s.charAt(j)) < 0) j += 1
+        // quoted values: charset="utf-8"
+        if (j == from && from < s.length && (s.charAt(from) == '"' || s.charAt(from) == '\'')) {
+          val q = s.charAt(from)
+          val e = s.indexOf(q, from + 1)
+          if (e > from) Some(s.substring(from + 1, e)) else None
+        } else Some(s.substring(from, j))
+      }
+    }
+    val fromHeader = httpHeaders.linesIterator
+      .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:"))
+      .flatMap(charsetParam).flatMap(parse)
+    fromHeader.getOrElse {
+      val head = new String(body, 0, math.min(1024, body.length),
+        StandardCharsets.US_ASCII)
+      val metaCharset = {
+        val i = indexOfIgnoreCaseStr(head, "<meta")
+        if (i < 0) None
+        else charsetParam(head) // covers <meta charset=…> AND http-equiv content=…charset=…
+      }
+      metaCharset.flatMap(parse).getOrElse(StandardCharsets.UTF_8)
+    }
+  }
+
+  private def indexOfIgnoreCaseStr(s: String, needle: String): Int = {
+    var i = 0
+    val last = s.length - needle.length
+    while (i <= last) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** PRODUCTION source path at crawl scale: a directory of `.warc.gz`
     * shard files under Spark's `binaryFile` source (one row per file —
     * only the `content` column is read), each blob container-parsed and
@@ -156,9 +228,8 @@ object WarcIO {
         records(blob).iterator
           .filter(_.warcType == "response")
           .map { r =>
-            val html = new String(r.httpBody, StandardCharsets.UTF_8)
             graft.pipeline.Doc(r.targetUri,
-              graft.pipeline.HtmlExtract.extract(html, stripBoilerplate))
+              graft.pipeline.HtmlExtract.extract(r.htmlText, stripBoilerplate))
           }
       }
   }
@@ -169,8 +240,9 @@ object WarcIO {
     * decompressible. `date` is caller-provided (determinism: no wall
     * clock in synthesis paths). */
   def writeResponse(out: ByteArrayOutputStream, uri: String, html: Array[Byte],
-      date: String, gzip: Boolean): Unit = {
-    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      date: String, gzip: Boolean,
+      contentType: String = "text/html; charset=utf-8"): Unit = {
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
       s"Content-Length: ${html.length}\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1)
     val payload = new Array[Byte](http.length + html.length)
     System.arraycopy(http, 0, payload, 0, http.length)

@@ -54,8 +54,8 @@ object StreamingCorrection {
         graft.sources.WarcIO.records(blob).iterator
           .filter(_.warcType == "response")
           .map { r =>
-            val html = new String(r.httpBody, java.nio.charset.StandardCharsets.UTF_8)
-            Doc(r.targetUri, graft.pipeline.HtmlExtract.extract(html, stripBoilerplate))
+            Doc(r.targetUri,
+              graft.pipeline.HtmlExtract.extract(r.htmlText, stripBoilerplate))
           }
       }
   }

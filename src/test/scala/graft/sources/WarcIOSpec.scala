@@ -64,6 +64,43 @@ class WarcIOSpec extends AnyFunSuite {
     assert(WarcIO.records(Array.emptyByteArray) === Seq.empty)
   }
 
+  test("charset sniffing: Content-Type header wins, meta fallback, UTF-8 default, bogus name safe") {
+    import java.nio.charset.Charset
+    val latin1 = StandardCharsets.ISO_8859_1
+    // 1. header declaration decodes a genuine Latin-1 page
+    val pageL1 = "<p>Grüße aus Köln</p>"
+    val out = new java.io.ByteArrayOutputStream()
+    WarcIO.writeResponse(out, "https://g/1", pageL1.getBytes(latin1),
+      "2026-01-01T00:00:00Z", gzip = false,
+      contentType = "text/html; charset=iso-8859-1")
+    val r1 = WarcIO.records(out.toByteArray).head
+    assert(r1.htmlText === pageL1)
+    // 2. no header charset: <meta charset> within the first 1024 bytes
+    val metaPage = "<html><head><meta charset=\"windows-1252\"></head><body><p>d’accord — oui</p></body></html>"
+    val out2 = new java.io.ByteArrayOutputStream()
+    WarcIO.writeResponse(out2, "https://g/2",
+      metaPage.getBytes(Charset.forName("windows-1252")),
+      "2026-01-01T00:00:00Z", gzip = false, contentType = "text/html")
+    assert(WarcIO.records(out2.toByteArray).head.htmlText === metaPage)
+    // 3. http-equiv form
+    val equivPage = "<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; charset=iso-8859-1\"></head><body><p>naïve</p></body></html>"
+    val out3 = new java.io.ByteArrayOutputStream()
+    WarcIO.writeResponse(out3, "https://g/3", equivPage.getBytes(latin1),
+      "2026-01-01T00:00:00Z", gzip = false, contentType = "text/html")
+    assert(WarcIO.records(out3.toByteArray).head.htmlText === equivPage)
+    // 4. no declaration anywhere -> UTF-8; bogus name -> UTF-8, no throw
+    val utfPage = "<p>Grüße</p>"
+    val out4 = new java.io.ByteArrayOutputStream()
+    WarcIO.writeResponse(out4, "https://g/4", utfPage.getBytes(StandardCharsets.UTF_8),
+      "2026-01-01T00:00:00Z", gzip = false, contentType = "text/html")
+    assert(WarcIO.records(out4.toByteArray).head.htmlText === utfPage)
+    val out5 = new java.io.ByteArrayOutputStream()
+    WarcIO.writeResponse(out5, "https://g/5", utfPage.getBytes(StandardCharsets.UTF_8),
+      "2026-01-01T00:00:00Z", gzip = false,
+      contentType = "text/html; charset=no-such-charset!!")
+    assert(WarcIO.records(out5.toByteArray).head.htmlText === utfPage)
+  }
+
   test("HTTP headers are split off the body; header lookup is case-insensitive") {
     val recs = WarcIO.records(shard(gzip = false, "https://f/1" -> "<p>b</p>"))
     val r = recs.head
