@@ -17,7 +17,7 @@ object Bench {
     "q_dedup_exact", "q_dedup_minhash", "q_ngram_jaccard", "q_boilerplate",
     "q_main_content", "q_html_extract", "q_pdf_extract", "q_warc_extract",
     "q_url_dedup", "q_link_graph", "q_pagerank", "q_robots_filter",
-    "q_fix_mojibake",
+    "q_fix_mojibake", "q_c4_filter",
     "q_ann_cosine", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed", "q_dedup_groups", "q_dedup_simhash",
     "q_simhash", "q_quality", "q_fingerprint",
     "q_gopher_quality", "q_pii_redact", "q_decontaminate", "q_sample_stratified", "q_sample_mixture",

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_pagerank" -> (Queries.qPagerank(_, _)),
     "q_robots_filter" -> (Queries.qRobotsFilter(_, _)),
     "q_fix_mojibake" -> (Queries.qFixMojibake(_, _)),
+    "q_c4_filter" -> (Queries.qC4Filter(_, _)),
     // training-data pipeline: similarity search
     "q_ann_cosine" -> (Queries.qAnnCosine(_, _)),
     "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),

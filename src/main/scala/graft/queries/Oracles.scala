@@ -889,6 +889,26 @@ object Oracles {
       |  ELSE '' END AS text
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Only the clean-terminated variant (doc_id + i) % 4 = 0 survives
+    * the line rules; the doc survives iff >= 2 lines do. The oracle
+    * rebuilds the exact surviving text from the word list. */
+  val qC4Filter: String =
+    """WITH w2 AS (
+      |  SELECT doc_id, list_concat(string_split(text, ' '),
+      |                             string_split(text, ' ')) AS ws
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, i,
+      |         array_to_string(ws[(i*3+1):(i*3+3)], ' ') || '.' AS line
+      |  FROM w2 CROSS JOIN (SELECT unnest(range(6)) AS i)
+      |  WHERE (doc_id + i) % 4 = 0),
+      |a AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+      |         CAST(count(*) AS BIGINT) AS n_kept
+      |  FROM l GROUP BY doc_id)
+      |SELECT doc_id, clean_text, n_kept FROM a
+      |WHERE n_kept >= 2 ORDER BY doc_id""".stripMargin
+
   /** The allowed fetch set restated from doc_id arithmetic: the news
     * prefix rule = NOT LIKE '1%', the blog wildcard+anchor Allow
     * overriding Disallow / = LIKE '%3', the rule-less graftbot group
@@ -947,6 +967,7 @@ object Oracles {
     "q_pagerank" -> qPagerank,
     "q_robots_filter" -> qRobotsFilter,
     "q_fix_mojibake" -> qFixMojibake,
+    "q_c4_filter" -> qC4Filter,
     "q_boilerplate" -> qBoilerplate,
     "q_main_content" -> qMainContent,
     "q_token_counts" -> qTokenCounts,

@@ -1099,6 +1099,40 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** C4-style LINE-LEVEL cleaning ([[TextOps.c4KeepLine]]) — unlike
+    * the scoring filters (quality/gopher/perplexity) this REWRITES the
+    * document: failing lines are dropped, then docs with fewer than 2
+    * surviving lines are dropped whole (the doc-level C4 rule). Each
+    * doc is expanded into six deterministic 3-word lines whose
+    * keep/drop fate is forced by (doc_id + i) % 4 — clean-terminated,
+    * unterminated, code-braced, and "lorem ipsum" variants — so the
+    * oracle can restate the exact surviving text per doc and which
+    * docs survive at all. Scale: per-row flatMap (line split + filter
+    * + rejoin inside one map), no shuffle, presentation sort only. */
+  def qC4Filter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(" ")
+        val w2 = ws ++ ws // docs have >= 10 words; 6 lines x 3 need 18
+        val lines = (0 until 6).map { i =>
+          val base = w2.slice(i * 3, i * 3 + 3).mkString(" ")
+          (id + i) % 4 match {
+            case 0 => base + "."
+            case 1 => base // no terminal punctuation
+            case 2 => base + " {var x}." // code brace
+            case _ => base + " lorem ipsum."
+          }
+        }
+        val kept = lines.filter(TextOps.c4KeepLine)
+        if (kept.size >= 2)
+          Iterator.single((id, kept.mkString("\n"), kept.size.toLong))
+        else Iterator.empty
+      }
+      .toDF("doc_id", "clean_text", "n_kept")
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic per-host robots.txt for the synthetic crawl: the
     * three host families exercise distinct RFC 9309 features — plain
     * prefix Disallow under the `*` group; a specific-agent group where

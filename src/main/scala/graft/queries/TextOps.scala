@@ -152,6 +152,25 @@ object TextOps {
       s"(CASE WHEN list_dot_product($col, ($lit)[1:len($col)]) > 0 THEN CAST(${1L << h} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 
+  /** C4 line-keep rule (Raffel et al. 2020, §2.2 heuristics): a line
+    * survives iff it ends in terminal punctuation (. ! ? "), has at
+    * least 3 words, contains no curly brace (code), and mentions
+    * neither "lorem ipsum" nor "javascript" (boilerplate/warning
+    * text). Pure per-line predicate — the doc-level rewrite (drop
+    * failing lines, then drop docs with too few survivors) happens in
+    * the query layer. */
+  def c4KeepLine(line: String): Boolean = {
+    val t = line.trim
+    if (t.isEmpty) return false
+    val last = t.charAt(t.length - 1)
+    (last == '.' || last == '!' || last == '?' || last == '"') &&
+      t.split("\\s+").length >= 3 &&
+      t.indexOf('{') < 0 && t.indexOf('}') < 0 && {
+        val lo = t.toLowerCase(java.util.Locale.ROOT)
+        !lo.contains("lorem ipsum") && !lo.contains("javascript")
+      }
+  }
+
   /** Windows-1252 printable characters at byte positions 0x80–0x9F
     * (where ISO-8859-1 has C1 controls) → their byte value. Mojibake
     * produced by "UTF-8 bytes decoded as cp1252" surfaces these chars;

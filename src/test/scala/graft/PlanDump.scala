@@ -56,6 +56,8 @@ object PlanDump extends App {
     "Canonical-URL fetch-list dedup: ONE pruned FileScan (doc_id only) -> typed per-row canonicalization map -> partial+final HashAggregate on the canonical key. The single count-shuffle is the entire cost at 10^12 fetch records; no join, no window, no driver state.")
   dump("q_link_graph", graft.queries.Queries.qLinkGraph(spark, sf),
     "Link-graph construction (HtmlExtract.links + UrlOps.canonicalize): per-row synthesize+parse flatMap -> ONE partial+final HashAggregate on the (src_host, dst_url) edge key. Map-side partials make the count skew-immune on Zipf-distributed dst keys; no join, no window.")
+  dump("q_c4_filter", graft.queries.Queries.qC4Filter(spark, sf),
+    "C4-style line-level cleaning: ONE pruned FileScan -> per-row flatMap (line synthesis + keep-rule filter + rejoin, doc-level minimum applied in the same map) -> presentation sort. A REWRITE filter with zero shuffle — it composes with any upstream partitioning.")
   dump("q_fix_mojibake", graft.queries.Queries.qFixMojibake(spark, sf),
     "Encoding repair (deterministic ftfy core): ONE pruned FileScan -> per-row corrupt-then-repair map -> presentation sort. No shuffle in the operator itself; repair∘corrupt is oracle-pinned as the identity per row.")
   dump("q_robots_filter", graft.queries.Queries.qRobotsFilter(spark, sf),

@@ -114,6 +114,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(TextOps.fixMojibake("日本語") == "日本語")
   }
 
+  test("c4KeepLine: terminal punctuation, word minimum, braces, boilerplate phrases") {
+    assert(TextOps.c4KeepLine("a clean simple sentence."))
+    assert(TextOps.c4KeepLine("was he sure? \"yes!\""))
+    assert(!TextOps.c4KeepLine("no terminal punctuation here"))
+    assert(!TextOps.c4KeepLine("too few."))
+    assert(!TextOps.c4KeepLine("function f() { return 1; } fine."))
+    assert(!TextOps.c4KeepLine("standard Lorem Ipsum filler text."))
+    assert(!TextOps.c4KeepLine("please enable JavaScript to continue."))
+    assert(!TextOps.c4KeepLine("   "))
+  }
+
   test("plan shape: scans prune columns (documents: only needed columns read)") {
     val plan = Queries.qTokenCounts(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema"))
