@@ -234,6 +234,77 @@ object WarcIO {
       }
   }
 
+  /** Render a Doc back to an HTML page — the INVERSE of
+    * [[graft.pipeline.HtmlExtract.extract]] on content spans: text
+    * spans become escaped `<p>` blocks, media spans the element whose
+    * kind the extractor maps back (image→img, video/audio→themselves,
+    * embed→iframe, anything else→source). render∘extract is the
+    * identity on (text, media_ref, order) and on kind UP TO the HTML
+    * taxonomy: kinds HTML has no element for (e.g. formula, table
+    * refs) serialize as `<source>` and re-extract as "media" — the
+    * documented, inherent collapse of exporting through HTML. */
+  def renderHtml(doc: graft.pipeline.Doc): String = {
+    val sb = new StringBuilder(256)
+    sb ++= "<html><body>"
+    doc.spans.foreach { sp =>
+      if (sp.kind == "text") {
+        sb ++= "<p>"
+        sb ++= sp.text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        sb ++= "</p>"
+      } else {
+        val tag = sp.kind match {
+          case "image" => "img"
+          case "video" => "video"
+          case "audio" => "audio"
+          case "embed" => "iframe"
+          case _       => "source"
+        }
+        sb ++= s"""<$tag src="${sp.media_ref}">"""
+      }
+    }
+    sb ++= "</body></html>"
+    sb.toString
+  }
+
+  /** SINK: write a Dataset[Doc] as `.warc.gz` crawl shards — the
+    * reverse of [[docsFromWarc]], one shard file per partition, one
+    * gzip member per document, each page rendered via [[renderHtml]]
+    * and keyed by `uriPrefix + doc_id`. All IO goes through the Hadoop
+    * FileSystem resolved from the target URI (file:/HDFS/S3A alike);
+    * shard count = upstream partitioning, so the caller controls shard
+    * size with a repartition — the ~1 GiB crawl-shard convention at
+    * scale. Returns nothing; determinism of CONTENT is per-record
+    * (shard membership follows partitioning). */
+  def writeWarcShards(docs: org.apache.spark.sql.Dataset[graft.pipeline.Doc],
+      dir: String, uriPrefix: String = "https://graft.example/",
+      date: String = "2026-01-01T00:00:00Z"): Unit = {
+    val confSer = new SerializableHadoopConf(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(confSer.value).mkdirs(dirPath)
+    val (d, pfx, dt) = (dir, uriPrefix, date)
+    docs.foreachPartition { (it: Iterator[graft.pipeline.Doc]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val buf = new ByteArrayOutputStream(1 << 16)
+        it.foreach { doc =>
+          writeResponse(buf, uri = pfx + doc.doc_id,
+            html = renderHtml(doc).getBytes(StandardCharsets.UTF_8),
+            date = dt, gzip = true)
+        }
+        val base = new org.apache.hadoop.fs.Path(d)
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+          base.toUri, confSer.value)
+        try {
+          fs.setWriteChecksum(false)
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(base, f"shard-$pid%05d.warc.gz"), true)
+          try buf.writeTo(out) finally out.close()
+        } finally fs.close()
+      }
+    }
+  }
+
   /** Write one WARC `response` record (HTTP 200, text/html payload),
     * per-record gzip member when `gzip` is set — the Common Crawl
     * convention, so any single record of a 1 GiB file is independently

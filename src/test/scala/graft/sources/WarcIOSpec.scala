@@ -101,6 +101,35 @@ class WarcIOSpec extends AnyFunSuite {
     assert(WarcIO.records(out5.toByteArray).head.htmlText === utfPage)
   }
 
+  test("WARC sink round trip: writeWarcShards -> docsFromWarc is the identity") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    import spark.implicits._
+    val docs = graft.pipeline.DocGen.docs(spark, 24, seed = 91L, partitions = 3)
+    val dir = java.nio.file.Files.createTempDirectory("warc-sink").toString
+    WarcIO.writeWarcShards(docs, dir, uriPrefix = "https://graft.example/")
+    // one shard per non-empty partition
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(shards.nonEmpty && shards.length <= 3)
+    val back = WarcIO.docsFromWarc(spark, dir)
+      .map(d => d.copy(doc_id = d.doc_id.stripPrefix("https://graft.example/")))
+      .collect().sortBy(_.doc_id).toSeq
+    val orig = docs.collect().sortBy(_.doc_id).toSeq
+    assert(back.map(_.doc_id) == orig.map(_.doc_id))
+    // identity on (text, media_ref, order); kind identity UP TO the
+    // HTML taxonomy (kinds without an HTML element collapse to "media")
+    def htmlKind(k: String): String = k match {
+      case "text" | "image" | "video" | "audio" | "embed" => k
+      case _ => "media"
+    }
+    back.zip(orig).foreach { case (b, o) =>
+      assert(b.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)) ==
+        o.spans.map(s => (htmlKind(s.kind), s.text, s.media_ref, s.offset)), b.doc_id)
+    }
+  }
+
   test("HTTP headers are split off the body; header lookup is case-insensitive") {
     val recs = WarcIO.records(shard(gzip = false, "https://f/1" -> "<p>b</p>"))
     val r = recs.head
