@@ -176,6 +176,28 @@ object Oracles {
     """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
 
+  /** Paragraph dedup: 8-word chunks, first-occurrence keep by the
+    * shared pos64 total order, docs reassembled with kept paragraphs
+    * in position order (string_agg skips the NULLed dropped rows like
+    * Spark's collect_list does). */
+  val qParagraphDedup: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pars AS (
+      |  SELECT doc_id, i AS idx,
+      |         array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ') AS par
+      |  FROM w, LATERAL (SELECT unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS i) u),
+      |keyed AS (SELECT doc_id, idx, par, md5(par) AS h,
+      |                 doc_id*100000 + idx AS pos64 FROM pars),
+      |firsts AS (SELECT h, min(pos64) AS keep_pos FROM keyed GROUP BY h)
+      |SELECT k.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_pars,
+      |       CAST(sum(CASE WHEN k.pos64 = f.keep_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       string_agg(CASE WHEN k.pos64 = f.keep_pos THEN k.par END, chr(10) ORDER BY k.idx) AS clean_text
+      |FROM keyed k JOIN firsts f USING (h)
+      |GROUP BY k.doc_id
+      |HAVING n_kept >= 1
+      |ORDER BY doc_id""".stripMargin
+
   /** MinHash CTEs shared by qDedupMinhash and qDedupGroups: shingle
     * md5-prefix mod P (the one dialect-specific step), then the 64
     * affine row-mins and the 16 band folds, all emitted by MinHashDefs
@@ -983,6 +1005,7 @@ object Oracles {
     "q_cer_lev" -> qCerLev,
     "q_training_join" -> qTrainingJoin,
     "q_dedup_exact" -> qDedupExact,
+    "q_paragraph_dedup" -> qParagraphDedup,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_groups" -> qDedupGroups,

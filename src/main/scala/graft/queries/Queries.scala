@@ -454,6 +454,47 @@ object Queries {
       .orderBy($"h")
   }
 
+  /** CCNet-style PARAGRAPH-LEVEL exact dedup — the rewrite CCNet
+    * applies before anything else (Wenzek et al. 2020 §3: drop every
+    * paragraph already seen elsewhere in the corpus, keep the FIRST
+    * occurrence in corpus order). Paragraphs here are deterministic
+    * 8-word chunks of each doc (the synthetic docs are single-line);
+    * first occurrence = min(doc_id*100000 + idx) per paragraph hash, so
+    * the keep decision is a total order both engines share.
+    *
+    * Scale shape: paragraph stream → ONE hash agg on md5(par) whose
+    * per-group state is a single BIGINT min (never a doc list — the
+    * lesson of the round-4 collect_set findings), join back on the same
+    * key, then ONE doc_id agg reassembles surviving text
+    * (array_sort(collect_list) bounded by the longest document). Docs
+    * whose every paragraph was seen earlier are dropped whole. At
+    * 10^12 docs the md5 shuffle is the whole cost; a hot paragraph
+    * ("thank you for subscribing") contributes ONE min cell, not a
+    * corpus-sized buffer. */
+  def qParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = docsDf(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), ceil(size($"ws") / lit(8.0)).cast("int") - 1),
+        i => concat_ws(" ", slice($"ws", i * lit(8) + 1, lit(8))))))
+      .select($"doc_id", $"pos".as("idx"), $"col".as("par"))
+      .withColumn("h", md5($"par"))
+      .withColumn("pos64", $"doc_id" * 100000 + $"idx")
+    val firsts = keyed.groupBy($"h").agg(min($"pos64").as("keep_pos"))
+    keyed.join(firsts, "h")
+      .withColumn("kept", $"pos64" === $"keep_pos")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pars"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when($"kept", struct($"idx", $"par")))),
+          x => x.getField("par"))).as("clean_text"))
+      .where($"n_kept" >= 1)
+      .select($"doc_id", $"n_pars", $"n_kept", $"clean_text")
+      .orderBy($"doc_id")
+  }
+
   /** MinHash, b=16 bands x r=4 rows over 64 affine permutations
     * (MinHashDefs): per-doc row-mins m0..m63 in ONE hash agg — 64 long
     * cells per doc, map-side partial+final HashAggregate — then the 16

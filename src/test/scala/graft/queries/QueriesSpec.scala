@@ -710,4 +710,24 @@ class QueriesSpec extends AnyFunSuite {
       (1L, 2, 2, 1, "b11 b12 b13"),
       (2L, 0, 4, 3, "c01 c02 c03 c11 c12 c13 c21 c22 c23")))
   }
+
+  test("paragraph dedup: first occurrence kept, later dupes dropped, empty docs removed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pdedup").toString
+    // paragraphs are 8-word chunks; A/B/C are exactly 8 words each
+    val A = (1 to 8).map(i => s"a$i").mkString(" ")
+    val B = (1 to 8).map(i => s"b$i").mkString(" ")
+    val C = (1 to 8).map(i => s"c$i").mkString(" ")
+    Seq(
+      (0L, s"$A $B"), // both first occurrences -> kept whole
+      (1L, s"$B $C"), // B already seen in doc 0 -> only C survives
+      (2L, s"$A $B")) // nothing new -> dropped entirely
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.qParagraphDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, s"$A\n$B"),
+      (1L, 2L, 1L, C)))
+  }
 }
