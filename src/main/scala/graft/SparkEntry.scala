@@ -48,6 +48,7 @@ object SparkEntry {
     // training-data pipeline: dedup
     "q_dedup_exact" -> (Queries.qDedupExact(_, _)),
     "q_paragraph_dedup" -> (Queries.qParagraphDedup(_, _)),
+    "q_dedup_bloom" -> (Queries.qDedupBloom(_, _)),
     "q_dedup_minhash" -> (Queries.qDedupMinhash(_, _)),
     "q_ngram_jaccard" -> (Queries.qNgramJaccard(_, _)),
     "q_dedup_embed" -> (Queries.qDedupEmbed(_, _)),

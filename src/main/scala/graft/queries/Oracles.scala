@@ -198,6 +198,22 @@ object Oracles {
       |HAVING n_kept >= 1
       |ORDER BY doc_id""".stripMargin
 
+  /** Bloom incremental dedup: the bloom is a pure pre-filter, so the
+    * oracle is the plain anti-join of the batch against history
+    * hashes — any bloom fpp must reproduce it bit-for-bit. */
+  val qDedupBloom: String =
+    """WITH nxt AS (SELECT doc_id - 1 AS doc_id, text AS next_text FROM documents),
+      |batch AS (
+      |  SELECT d.doc_id,
+      |         md5(CASE WHEN d.doc_id % 6 = 0 THEN n.next_text ELSE d.text END) AS h
+      |  FROM documents d JOIN nxt n USING (doc_id)
+      |  WHERE d.doc_id % 3 = 0),
+      |hist AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0)
+      |SELECT b.doc_id, b.h
+      |FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = b.h)
+      |ORDER BY b.doc_id""".stripMargin
+
   /** MinHash CTEs shared by qDedupMinhash and qDedupGroups: shingle
     * md5-prefix mod P (the one dialect-specific step), then the 64
     * affine row-mins and the 16 band folds, all emitted by MinHashDefs
@@ -1006,6 +1022,7 @@ object Oracles {
     "q_training_join" -> qTrainingJoin,
     "q_dedup_exact" -> qDedupExact,
     "q_paragraph_dedup" -> qParagraphDedup,
+    "q_dedup_bloom" -> qDedupBloom,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_groups" -> qDedupGroups,

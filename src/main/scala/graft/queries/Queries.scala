@@ -495,6 +495,59 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** INCREMENTAL dedup of a new crawl batch against a historical
+    * corpus, Bloom-prefiltered — the shape every continuously-crawling
+    * pipeline needs: the history (here docs with doc_id%3 != 0) is far
+    * larger than the batch, so instead of shuffling the whole batch
+    * into an anti-join, a Bloom filter over history hashes (built with
+    * Spark's distributed sketch aggregate, fpp 3%) is broadcast and
+    * applied AT THE SCAN: batch rows the bloom rejects are definitely
+    * new (no false negatives) and never shuffle; only the bloom's
+    * candidate fraction (true dupes + ~fpp of the new rows) enters the
+    * exact LEFT ANTI verification join. The bloom is a pure
+    * PRE-FILTER: the result is bit-identical to the plain anti-join
+    * the oracle states, at any fpp.
+    *
+    * The batch is synthesized so dedup is real: every 6th doc is a
+    * re-crawl carrying the text of doc_id+1 (which IS in history);
+    * other batch docs keep their own unseen text. The candidate/fresh
+    * split is surfaced via observe ("bloom_prefilter").
+    *
+    * At 10^12 history keys one bloom no longer fits an executor
+    * (~1.8 TB at 3%): production shards the filter by key range and
+    * zips batch partitions against the matching shard — the
+    * prune-then-verify algebra here is unchanged. */
+  def qDedupBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = docsDf(s, dir)
+    val history = docs.where($"doc_id" % 3 =!= 0).select(md5($"text").as("h"))
+    val next = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("next_text"))
+    val batch = docs.where($"doc_id" % 3 === 0)
+      .join(next, "doc_id") // inner: the max doc_id row drops in both engines
+      .select($"doc_id",
+        md5(when($"doc_id" % 6 === 0, $"next_text").otherwise($"text")).as("h"))
+    // sketch build is necessarily eager (one job over history hashes);
+    // count(*) sizes it — both jobs scan only pruned columns.
+    val bloom = history.stat.bloomFilter(
+      "h", math.max(history.count(), 1L), 0.03)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+    ensureObserveListener(s)
+    // persisted: `marked` feeds BOTH union branches — without the cache
+    // the batch scan (and the observe's CollectMetrics) would execute
+    // twice, double-counting the metric and re-reading the batch.
+    val marked = registerCache(batch
+      .withColumn("cand", mightContain($"h"))
+      .observe("bloom_prefilter",
+        count(when($"cand", true)).as("candidates"),
+        count(lit(1)).as("batch_total"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val fresh = marked.where(!$"cand").select($"doc_id", $"h")
+    val verifiedNew = marked.where($"cand")
+      .join(history, Seq("h"), "left_anti").select($"doc_id", $"h")
+    fresh.union(verifiedNew).orderBy($"doc_id")
+  }
+
   /** MinHash, b=16 bands x r=4 rows over 64 affine permutations
     * (MinHashDefs): per-doc row-mins m0..m63 in ONE hash agg — 64 long
     * cells per doc, map-side partial+final HashAggregate — then the 16

@@ -711,6 +711,32 @@ class QueriesSpec extends AnyFunSuite {
       (2L, 0, 4, 3, "c01 c02 c03 c11 c12 c13 c21 c22 c23")))
   }
 
+  test("bloom incremental dedup: bit-identical to the plain anti-join; prefilter has no false negatives") {
+    import spark.implicits._
+    Queries.clearObserved("bloom_prefilter")
+    val got = Queries.qDedupBloom(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent recomputation WITHOUT the bloom: plain anti-join
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    import org.apache.spark.sql.functions._
+    val hist = docs.where($"doc_id" % 3 =!= 0).select(md5($"text").as("h"))
+    val next = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("next_text"))
+    val batch = docs.where($"doc_id" % 3 === 0).join(next, "doc_id")
+      .select($"doc_id",
+        md5(when($"doc_id" % 6 === 0, $"next_text").otherwise($"text")).as("h"))
+    val expected = batch.join(hist, Seq("h"), "left_anti")
+      .select($"doc_id", $"h").orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == expected.toSeq)
+    // no false negatives: every true duplicate must be a bloom candidate,
+    // so candidates >= (batch - new) — and the observe is recorded at all
+    val m = Queries.lastObserved("bloom_prefilter").get
+    val batchTotal = m("batch_total").asInstanceOf[Long]
+    val candidates = m("candidates").asInstanceOf[Long]
+    assert(batchTotal == batch.count())
+    assert(candidates >= batchTotal - got.length)
+  }
+
   test("paragraph dedup: first occurrence kept, later dupes dropped, empty docs removed") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pdedup").toString
