@@ -85,6 +85,7 @@ object SparkEntry {
     "q_suppliers_hot" -> (Analytics.qSuppliersHot(_, _)),
     "q_events_window" -> (Analytics.qEventsWindow(_, _)),
     "q_events_asof" -> (Analytics.qEventsAsof(_, _)),
+    "q_sessionize" -> (Analytics.qSessionize(_, _)),
     // training-data pipeline: text analysis
     "q_quality" -> (Queries.qQuality(_, _)),
     "q_token_count_regex" -> (Queries.qTokenCountRegex(_, _)),

@@ -186,6 +186,42 @@ object Analytics {
       .orderBy($"event_id")
   }
 
+  /** GAP-BASED SESSIONIZATION — the classic clickstream shape: a new
+    * session starts when a user is idle > 30 minutes. Session boundary
+    * = lag window, session id = running sum of boundaries, both over
+    * the SAME (user_id, ordered by ts_us, event_id) window — one
+    * user_id Exchange serves both, and the deterministic compound sort
+    * key means the default RANGE frame has no peers on either engine.
+    * The per-session rollup groups on (user_id, sess_id): its exchange
+    * moves only session-sized partial aggregates (map-side combine
+    * compresses events to sessions before the shuffle). Timestamps are
+    * compared and emitted as epoch MICROS (BIGINT) — no timezone or
+    * interval dialect in the cross-engine surface; money folds to
+    * integer cents per row. At 100 TB user_id is the natural
+    * partition key and a hot user costs one window buffer, never a
+    * corpus-sized group. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val GAP_US = 30L * 60 * 1000000
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        cents("value").as("value_c"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    ev.withColumn("new_sess",
+        when(coalesce($"us" - lag($"us", 1).over(w), lit(Long.MaxValue))
+          > GAP_US, 1L).otherwise(0L))
+      .withColumn("sess_id", sum($"new_sess").over(w))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"us").as("start_us"), max($"us").as("end_us"),
+        sum($"value_c").as("total_c"))
+      .select($"user_id", $"sess_id", $"n_events", $"start_us", $"end_us",
+        expr("(end_us - start_us) div 1000000").as("dur_s"), $"total_c")
+      .orderBy($"user_id", $"sess_id")
+  }
+
   /** Batch mirror of the streaming 5-minute window aggregation
     * (StreamingCorrection.eventWindowAgg): tumbling window per
     * event_type, epoch-aligned; window start emitted as epoch seconds

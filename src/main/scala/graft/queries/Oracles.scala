@@ -383,6 +383,29 @@ object Oracles {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Sessionization: same two stacked windows over (user_id; us,
+    * event_id) — epoch-micros arithmetic only, so no interval or
+    * timezone dialect enters the compare. */
+  val qSessionize: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         CAST(round(value * 100) AS BIGINT) AS value_c
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                   OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |g AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess_id
+      |  FROM f)
+      |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       min(us) AS start_us, max(us) AS end_us,
+      |       (max(us) - min(us)) // 1000000 AS dur_s,
+      |       CAST(sum(value_c) AS BIGINT) AS total_c
+      |FROM g GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin
+
   val qQuality: String =
     """WITH t AS (
       |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
@@ -1041,6 +1064,7 @@ object Oracles {
     "q_suppliers_hot" -> qSuppliersHot,
     "q_events_window" -> qEventsWindow,
     "q_events_asof" -> qEventsAsof,
+    "q_sessionize" -> qSessionize,
     "q_ann_ivf" -> qAnnIvf,
     "q_token_count_regex" -> qTokenCountRegex,
     "q_fingerprint" -> qFingerprint,

@@ -545,6 +545,33 @@ class QueriesSpec extends AnyFunSuite {
       s"running-last window must be partitioned by user_id:\n$plan")
   }
 
+  test("sessionize: gap rule verified locally; both windows share one user_id exchange") {
+    import org.apache.spark.sql.functions._
+    val df = Analytics.qSessionize(spark, sf)
+    // local recomputation of the gap rule for one user with >1 session
+    val multi = df.groupBy("user_id").count().where(col("count") > 1)
+      .orderBy("user_id").limit(1).collect()
+    assert(multi.nonEmpty, "fixture should contain a user with several sessions")
+    val uid = multi(0).getLong(0)
+    val times = spark.read.parquet(s"$sf/events.parquet")
+      .where(col("user_id") === uid)
+      .select(unix_micros(col("ts").cast("timestamp"))).orderBy("ts")
+      .collect().map(_.getLong(0)).sorted
+    val expectedSessions = 1 + times.sliding(2)
+      .count(p => p.length == 2 && p(1) - p(0) > 1800000000L)
+    val gotSessions = df.where(col("user_id") === uid).count()
+    assert(gotSessions == expectedSessions)
+    // plan: the two stacked windows + rollup must not multiply user exchanges
+    val plan = df.queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("user_id")),
+      s"session windows must be partitioned by user_id:\n$plan")
+    val userExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userExchanges <= 2, // one for the windows, one for the rollup
+      s"expected at most 2 user_id exchanges, plan:\n$plan")
+  }
+
   test("plan shape: tpch top-customers broadcasts dims; window is partitioned") {
     val plan = Analytics.qTpchTopCustomers(spark, sf)
       .queryExecution.executedPlan.toString
