@@ -406,6 +406,22 @@ object Oracles {
       |FROM g GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_id""".stripMargin
 
+  /** BPE iteration-1 pair counts over the word vocab; (cnt desc, a, b)
+    * is the trainer's deterministic merge-pick order. */
+  val qBpePairs: String =
+    """WITH wc AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS w) u
+      |  WHERE length(w) > 0 GROUP BY w),
+      |p AS (
+      |  SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+      |         substr(w, CAST(i AS INTEGER) + 1, 1) AS b, c
+      |  FROM wc, LATERAL (SELECT unnest(range(1, length(w))) AS i) v
+      |  WHERE length(w) >= 2)
+      |SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt
+      |FROM p GROUP BY a, b
+      |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin
+
   val qQuality: String =
     """WITH t AS (
       |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
@@ -1073,5 +1089,6 @@ object Oracles {
     "q_decontaminate" -> qDecontaminate,
     "q_sample_stratified" -> qSampleStratified,
     "q_chunk_fixed" -> qChunkFixed,
-    "q_tfidf_top" -> qTfidfTop)
+    "q_tfidf_top" -> qTfidfTop,
+    "q_bpe_pairs" -> qBpePairs)
 }

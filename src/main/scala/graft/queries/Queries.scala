@@ -1756,6 +1756,31 @@ object Queries {
       |     WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
       |     ELSE 0.1 END""".stripMargin
 
+  /** BPE tokenizer training, iteration 1 ([[graft.train.Bpe]]): the
+    * adjacent-symbol pair counts over the word-frequency vocabulary and
+    * the merge ranking (cnt desc, pair asc — the trainer's exact pick
+    * order), top 50. This is the distributed heart of every merge
+    * iteration; multi-iteration training (merge application included)
+    * is spec-pinned trainSpark == trainLocal since applying merges is
+    * not SQL-expressible. Scale shape: ONE corpus shuffle (word
+    * counts), then pair counts aggregate over the VOCAB — bounded by
+    * distinct words — into a partial+final hash agg; top-50 is a
+    * TakeOrderedAndProject, never a global sort. */
+  def qBpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = docsDf(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .where(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    wc.where(length($"w") >= 2)
+      .select($"c", explode(expr(
+        "transform(sequence(1, length(w) - 1), " +
+          "i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))")).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"), $"c")
+      .groupBy($"a", $"b").agg(sum($"c").as("cnt"))
+      .orderBy(desc("cnt"), asc("a"), asc("b")).limit(50)
+  }
+
   /** TF-IDF top terms per document (keyword extraction): tf = term count
     * / doc token count, idf = ln(N / df), top 5 terms per doc by score.
     * Scale shape: ONE explode feeds a (doc_id, term) hash agg; the df
