@@ -67,6 +67,7 @@ object SparkEntry {
     "q_url_dedup" -> (Queries.qUrlDedup(_, _)),
     "q_link_graph" -> (Queries.qLinkGraph(_, _)),
     "q_pagerank" -> (Queries.qPagerank(_, _)),
+    "q_crawl_frontier" -> (Queries.qCrawlFrontier(_, _)),
     "q_robots_filter" -> (Queries.qRobotsFilter(_, _)),
     "q_fix_mojibake" -> (Queries.qFixMojibake(_, _)),
     "q_c4_filter" -> (Queries.qC4Filter(_, _)),

@@ -1006,7 +1006,9 @@ object Oracles {
     * mul/div (DuckDB's `//` = Spark's `div` for non-negative longs),
     * so three unrolled iterations are bit-identical across engines —
     * the oracle gates the ITERATION, not a float approximation. */
-  val qPagerank: String = {
+  /** The shared pagerank CTE chain (edge synthesis through r3),
+    * reused verbatim by qPagerank and qCrawlFrontier. */
+  private val pagerankCtes: String = {
     val host = "CASE (%s) %% 3 WHEN 0 THEN 'news.example.org' " +
       "WHEN 1 THEN 'blog.example.org' ELSE 'www.example.net' END"
     val srcUrl = s"'https://' || ${host.format("doc_id % 97")} || '/articles/' || CAST(doc_id % 97 AS VARCHAR)"
@@ -1018,7 +1020,7 @@ object Oracles {
          |           CAST(sum(((p.r * e.w) // o.ow) * 85 // 100) AS BIGINT) AS c
          |    FROM e JOIN $prev p ON e.src = p.url JOIN o ON o.src = e.src
          |    GROUP BY e.dst) s ON n.url = s.url)""".stripMargin
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
        |    SELECT $srcUrl AS src,
        |           'https://www.example.net/?page=' || CAST(doc_id % 4 AS VARCHAR) || '&sort=asc' AS dst
@@ -1031,9 +1033,31 @@ object Oracles {
        |r0 AS (SELECT url, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
        |${step("r0", "r1")},
        |${step("r1", "r2")},
-       |${step("r2", "r3")}
-       |SELECT url, r AS rank FROM r3 ORDER BY url""".stripMargin
+       |${step("r2", "r3")}""".stripMargin
   }
+
+  val qPagerank: String =
+    s"""WITH $pagerankCtes
+       |SELECT url, r AS rank FROM r3 ORDER BY url""".stripMargin
+
+  /** Crawl frontier: canonical fetch list (qUrlDedup arithmetic) ∩
+    * robots-allowed set (qRobotsFilter arithmetic), prioritized by the
+    * same integer pagerank the qPagerank oracle derives. */
+  val qCrawlFrontier: String =
+    s"""WITH $pagerankCtes,
+       |c AS (SELECT doc_id % 97 AS g FROM documents),
+       |fl AS (
+       |  SELECT 'https://' || CASE g % 3 WHEN 0 THEN 'news.example.org'
+       |           WHEN 1 THEN 'blog.example.org' ELSE 'www.example.net' END
+       |         || '/articles/' || CAST(g AS VARCHAR) AS url,
+       |         CAST(count(*) AS BIGINT) AS demand, min(g) AS g
+       |  FROM c GROUP BY url)
+       |SELECT f.url, f.demand, r3.r AS rank
+       |FROM fl f JOIN r3 USING (url)
+       |WHERE (f.g % 3 = 0 AND CAST(f.g AS VARCHAR) NOT LIKE '1%')
+       |   OR (f.g % 3 = 1 AND CAST(f.g AS VARCHAR) LIKE '%3')
+       |   OR (f.g % 3 = 2)
+       |ORDER BY rank DESC, url""".stripMargin
 
   val all: Map[String, String] = Map(
     "q_html_extract" -> qHtmlExtract,
@@ -1042,6 +1066,7 @@ object Oracles {
     "q_url_dedup" -> qUrlDedup,
     "q_link_graph" -> qLinkGraph,
     "q_pagerank" -> qPagerank,
+    "q_crawl_frontier" -> qCrawlFrontier,
     "q_robots_filter" -> qRobotsFilter,
     "q_fix_mojibake" -> qFixMojibake,
     "q_c4_filter" -> qC4Filter,

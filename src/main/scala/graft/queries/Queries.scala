@@ -1293,7 +1293,12 @@ object Queries {
     * node-sized relation; lineage stays shallow so no checkpoint is
     * needed (at 10^2 iterations production would localCheckpoint every
     * ~10). */
-  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+  def qPagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankRanks(s, dir).orderBy(col("url"))
+
+  /** The rank computation behind [[qPagerank]], shared with
+    * [[qCrawlFrontier]] (which joins ranks as fetch priority). */
+  private def pagerankRanks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val SCALE = 1000000000000L
     val BASE  = 150000000000L // 0.15 * SCALE
@@ -1324,7 +1329,40 @@ object Queries {
         .select($"url", (lit(BASE) + coalesce($"c", lit(0L))).as("rank"))
         .withColumnRenamed("rank", "r")
     }
-    ranks.select($"url", $"r".as("rank")).orderBy($"url")
+    ranks.select($"url", $"r".as("rank"))
+  }
+
+  /** CRAWL-FRONTIER prioritization — the composition every crawler's
+    * scheduler runs, chaining three already-oracled stages end to end:
+    * (1) the messy fetch list collapses to canonical URLs with demand
+    * counts ([[qUrlDedup]] shape, [[graft.ops.UrlOps.canonicalize]]);
+    * (2) RFC 9309 politeness drops disallowed URLs
+    * ([[graft.ops.Robots]] evaluated per canonical host+path); (3) the
+    * surviving frontier joins the 3-iteration fixed-point PageRank of
+    * the link graph as fetch priority — the oracle re-derives the same
+    * integer ranks, so the composed result is bit-exact. Scale shape:
+    * one canonical-key hash agg, a per-row politeness filter (rules
+    * side host-sized, broadcast shape), then ONE node-sized join
+    * against ranks; presentation order (rank desc) is a top-level
+    * sort of the url-sized frontier, at 100 TB a TakeOrdered over
+    * however many URLs the scheduler actually dispatches. */
+  def qCrawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fetch = docsDf(s, dir).select($"doc_id").as[Long]
+      .map(id => graft.ops.UrlOps.canonicalize(messyUrl(id)))
+      .toDF("url")
+      .groupBy($"url").agg(count(lit(1)).as("demand"))
+    val allowed = fetch.as[(String, Long)].flatMap { case (url, demand) =>
+      val u = new java.net.URI(url)
+      if (graft.ops.Robots.isAllowed(robotsFor(u.getHost), "graftbot/1.0", u.getPath))
+        Iterator.single((url, demand))
+      else Iterator.empty
+    }.toDF("url", "demand")
+    // every canonical article URL is a link-graph src node, so the
+    // priority join is inner (spec-pinned: no frontier row drops here)
+    allowed.join(pagerankRanks(s, dir), Seq("url"))
+      .select($"url", $"demand", $"rank")
+      .orderBy(desc("rank"), asc("url"))
   }
 
   /** PDF LAYOUT-PARSE round trip — the north rule's "PDF/layout

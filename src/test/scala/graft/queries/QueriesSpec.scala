@@ -738,6 +738,17 @@ class QueriesSpec extends AnyFunSuite {
       (2L, 0, 4, 3, "c01 c02 c03 c11 c12 c13 c21 c22 c23")))
   }
 
+  test("crawl frontier: priority join drops no allowed URL; output sorted by rank desc") {
+    val rows = Queries.qCrawlFrontier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every canonical article URL is a link-graph src node: the robots
+    // pass count must survive the rank join intact
+    val robotsAllowed = Queries.qRobotsFilter(spark, sf).count()
+    assert(rows.length.toLong == robotsAllowed)
+    val ranks = rows.map(_.getLong(2)).toSeq
+    assert(ranks == ranks.sortBy(-_), "frontier must be priority-ordered")
+  }
+
   test("bloom incremental dedup: bit-identical to the plain anti-join; prefilter has no false negatives") {
     import spark.implicits._
     Queries.clearObserved("bloom_prefilter")
