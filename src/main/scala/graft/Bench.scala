@@ -14,14 +14,16 @@ object Bench {
     "q_correct_docs", "q_token_counts", "q_lexicon_counts", "q_lm_ngrams",
     "q_lm_perplexity", "q_len_percentiles", "q_substring_dup",
     "q_confusion_counts", "q_ngram_topk", "q_cer_lev",
-    "q_dedup_exact", "q_dedup_minhash", "q_ngram_jaccard", "q_boilerplate",
+    "q_dedup_exact", "q_paragraph_dedup", "q_dedup_bloom",
+    "q_dedup_minhash", "q_ngram_jaccard", "q_boilerplate",
     "q_main_content", "q_html_extract", "q_pdf_extract", "q_warc_extract",
-    "q_url_dedup", "q_link_graph", "q_pagerank", "q_robots_filter",
+    "q_url_dedup", "q_link_graph", "q_pagerank", "q_crawl_frontier",
+    "q_robots_filter",
     "q_fix_mojibake", "q_c4_filter",
     "q_ann_cosine", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed", "q_dedup_groups", "q_dedup_simhash",
     "q_simhash", "q_quality", "q_fingerprint",
     "q_gopher_quality", "q_pii_redact", "q_decontaminate", "q_sample_stratified", "q_sample_mixture",
-    "q_chunk_fixed", "q_tfidf_top",
+    "q_chunk_fixed", "q_tfidf_top", "q_bpe_pairs", "q_sessionize",
     "q_tpch_pricing", "q_tpch_top_customers", "q_tpch_promo",
     "q_parts_cold", "q_suppliers_hot", "q_events_window", "q_events_asof")
 

@@ -209,4 +209,30 @@ object StreamingCorrection {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
+
+  /** STREAMING gap-based sessionization — the streaming twin of
+    * [[graft.queries.Analytics.qSessionize]], expressed with Spark's
+    * NATIVE session_window: the engine owns the merging session state
+    * (two overlapping sessions fuse when a bridging event arrives,
+    * state evicts at the watermark), which is strictly better than a
+    * hand-rolled flatMapGroupsWithState for this shape. Append mode
+    * emits a session exactly once, when the watermark passes its
+    * gap-extended end. Same cross-engine surface as the batch twin:
+    * epoch micros + integer cents. Boundary nit vs the batch lag-rule:
+    * session_window closes at diff >= gap, the batch rule at
+    * diff > gap — they differ only for a gap-exact microsecond tie,
+    * which the equality spec's real-timestamp corpus cannot produce. */
+  def sessionAgg(events: DataFrame, gapMinutes: Int = 30,
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("total_c"))
+      .select(col("user_id"), col("n_events"), col("start_us"),
+        col("end_us"), col("total_c"))
 }

@@ -256,6 +256,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization equals the batch qSessionize sessions once watermark closes them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-sess").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(dir)
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = StreamingCorrection.sessionAgg(stream)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sessagg").start()
+    try {
+      q.processAllAvailable()
+      // a far-future sentinel event advances the watermark past every
+      // real session's gap-extended end, forcing them all to emit
+      val maxTs = events.agg(org.apache.spark.sql.functions.max($"ts"))
+        .collect()(0).getAs[java.time.LocalDateTime](0)
+      Seq((999999L, java.sql.Timestamp.valueOf(maxTs.plusDays(10)), 999999L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("sessagg")
+        .where($"user_id" =!= 999999L)
+        .select($"user_id", $"n_events", $"start_us", $"end_us", $"total_c")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val batch = graft.queries.Analytics
+        .qSessionize(spark, "/root/testdata/sf0.001")
+        .select($"user_id", $"n_events", $"start_us", $"end_us", $"total_c")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("oracled q_events_window mirrors the streaming agg (same buckets, cents vs double)") {
     val dir = "/root/testdata/sf0.001"
     val batch = StreamingCorrection.eventWindowAgg(
