@@ -422,6 +422,19 @@ object Oracles {
       |FROM p GROUP BY a, b
       |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin
 
+  /** Hashing-trick classifier: same 60-bit md5-prefix bucket hash and
+    * integer weight formula, folded per row with list lambdas. */
+  val qQualityClassifier: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(COALESCE(list_sum(list_transform(
+      |      list_filter(string_split(text, ' '), x -> length(x) > 0),
+      |      t -> (CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1024)
+      |           * 2654435761 % 1001 - 500)), 0) AS BIGINT) AS score
+      |  FROM documents)
+      |SELECT doc_id, score, score > 0 AS keep
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val qQuality: String =
     """WITH t AS (
       |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
@@ -1097,6 +1110,7 @@ object Oracles {
     "q_simhash" -> qSimhash,
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
+    "q_quality_classifier" -> qQualityClassifier,
     "q_tpch_pricing" -> qTpchPricing,
     "q_tpch_top_customers" -> qTpchTopCustomers,
     "q_tpch_revenue_rollup" -> qTpchRevenueRollup,

@@ -1819,6 +1819,30 @@ object Queries {
       .orderBy(desc("cnt"), asc("a"), asc("b")).limit(50)
   }
 
+  /** MODEL-BASED quality filtering — the GPT-3/CCNet-style linear
+    * classifier pass: bag-of-words with the hashing trick (1024
+    * buckets via the shared md5-prefix hash), integer bucket weights,
+    * keep = score > 0. The weights here are a deterministic formula
+    * ((bucket * 2654435761) % 1001 - 500) standing in for trained
+    * parameters — in production they are a broadcast array and the
+    * plan is IDENTICAL: a pure per-row map over the scan (token split
+    * → hash → weight lookup → sum folded inside one higher-order
+    * expression), NO shuffle, no explode — the classic explode+groupBy
+    * formulation would shuffle every token of a 100-TB corpus to
+    * re-derive a per-doc sum that never needed to leave the row. */
+  def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.HexPrefix64.hexPrefix64
+    val toks = filter(split($"text", " "), t => length(t) > 0)
+    val weights = transform(toks, t =>
+      (hexPrefix64(md5(t)) % 1024L) * 2654435761L % 1001L - 500L)
+    docsDf(s, dir)
+      .select($"doc_id",
+        aggregate(weights, lit(0L), (acc, w) => acc + w).as("score"))
+      .withColumn("keep", $"score" > 0)
+      .orderBy($"doc_id")
+  }
+
   /** TF-IDF top terms per document (keyword extraction): tf = term count
     * / doc token count, idf = ln(N / df), top 5 terms per doc by score.
     * Scale shape: ONE explode feeds a (doc_id, term) hash agg; the df

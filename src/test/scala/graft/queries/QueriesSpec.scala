@@ -738,6 +738,33 @@ class QueriesSpec extends AnyFunSuite {
       (2L, 0, 4, 3, "c01 c02 c03 c11 c12 c13 c21 c22 c23")))
   }
 
+  test("quality classifier: per-row scoring matches a local recompute; no hash shuffle, no explode") {
+    import org.apache.spark.sql.functions._
+    val df = Queries.qQualityClassifier(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // local recompute of the hash + weight formula for a sample of docs
+    def weight(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      (h % 1024L) * 2654435761L % 1001L - 500L
+    }
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    got.take(20).foreach { case (id, score, keep) =>
+      val exp = texts(id).split(" ").filter(_.nonEmpty).map(weight).sum
+      assert(score == exp, s"doc $id")
+      assert(keep == (exp > 0))
+    }
+    // data path is scan -> per-row project; only the presentation sort
+    // may repartition (range), never a hash exchange or a Generate
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Generate"), plan)
+  }
+
   test("crawl frontier: priority join drops no allowed URL; output sorted by rank desc") {
     val rows = Queries.qCrawlFrontier(spark, sf).collect()
     assert(rows.nonEmpty)
