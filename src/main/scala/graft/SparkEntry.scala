@@ -90,6 +90,7 @@ object SparkEntry {
     // training-data pipeline: text analysis
     "q_quality" -> (Queries.qQuality(_, _)),
     "q_quality_classifier" -> (Queries.qQualityClassifier(_, _)),
+    "q_inverted_index" -> (Queries.qInvertedIndex(_, _)),
     "q_token_count_regex" -> (Queries.qTokenCountRegex(_, _)),
     "q_lang_id" -> (Queries.qLangId(_, _)),
     "q_fingerprint" -> (Queries.qFingerprint(_, _)),

@@ -422,6 +422,17 @@ object Oracles {
       |FROM p GROUP BY a, b
       |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin
 
+  /** Inverted index: df + the 20 lowest doc_ids per term (DuckDB may
+    * buffer the full list; the Spark side must not). */
+  val qInvertedIndex: String =
+    """WITH td AS (
+      |  SELECT DISTINCT doc_id, t AS term
+      |  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS t) u
+      |  WHERE length(t) > 0)
+      |SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |       array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',') AS postings
+      |FROM td GROUP BY term ORDER BY term""".stripMargin
+
   /** Hashing-trick classifier: same 60-bit md5-prefix bucket hash and
     * integer weight formula, folded per row with list lambdas. */
   val qQualityClassifier: String =
@@ -1111,6 +1122,7 @@ object Oracles {
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
     "q_quality_classifier" -> qQualityClassifier,
+    "q_inverted_index" -> qInvertedIndex,
     "q_tpch_pricing" -> qTpchPricing,
     "q_tpch_top_customers" -> qTpchTopCustomers,
     "q_tpch_revenue_rollup" -> qTpchRevenueRollup,

@@ -1819,6 +1819,30 @@ object Queries {
       .orderBy(desc("cnt"), asc("a"), asc("b")).limit(50)
   }
 
+  /** INVERTED-INDEX construction — per term: document frequency and a
+    * BOUNDED postings head (the 20 lowest doc_ids), the search-index
+    * product a crawl pipeline ships. The bound is what makes this
+    * 100-TB-shaped, and Spark has no primitive for it: collect_list
+    * buffers the whole group (the round-4 hot-key finding), a rank
+    * window buffers/spills whole partitions — so the postings head is
+    * a custom Catalyst `TypedImperativeAggregate`
+    * ([[graft.functions.TopKMinLongs]], k-slot heap state, map-side
+    * combinable). The whole query is ONE partial+final hash agg over
+    * distinct (term, doc) pairs: a term appearing in every document
+    * costs 20 longs per task, not a corpus-sized buffer. */
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TopKMinLongs.topKMin
+    docsDf(s, dir)
+      .select($"doc_id", explode(array_distinct(
+        filter(split($"text", " "), t => length(t) > 0))).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(topKMin($"doc_id", 20), _.cast("string")))
+          .as("postings"))
+      .orderBy($"term")
+  }
+
   /** MODEL-BASED quality filtering — the GPT-3/CCNet-style linear
     * classifier pass: bag-of-words with the hashing trick (1024
     * buckets via the shared md5-prefix hash), integer bucket weights,

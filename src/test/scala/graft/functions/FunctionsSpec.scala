@@ -109,6 +109,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT size(char_ngrams('abcd', 2, 2)) s").head().getInt(0) == 3)
   }
 
+  test("TopKMinLongs: bounded heap equals sort-take-k across partitions, dupes and nulls handled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import TopKMinLongs.topKMin
+    // adversarial: one hot key with many values (incl. duplicates),
+    // descending insert order (worst case for a min-keeper), several
+    // partitions so partial merge runs, a null, an under-k group
+    val rows =
+      (1000L to 1L by -1L).map(v => ("hot", Option(v))) ++
+        Seq(("hot", Option(5L)), ("hot", Option(5L)), ("hot", None)) ++
+        Seq(("tiny", Option(42L)), ("tiny", Option(7L)))
+    val df = rows.toDF("k", "v").repartition(7)
+      .groupBy($"k").agg(topKMin($"v", 20).as("top"))
+    val got = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val hotExpected = ((1000L to 1L by -1L) ++ Seq(5L, 5L))
+      .sorted.take(20)
+    assert(got("hot") == hotExpected) // dupes kept, nulls skipped
+    assert(got("tiny") == Seq(7L, 42L)) // under-k group: all values, ascending
+    // per-group state is the k-slot object buffer: the plan is an
+    // ObjectHashAggregate partial+final pair, no window, no sort-agg
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("SimHash64 handles nulls") {
     import spark.implicits._
     val df = Seq(Some("abc"), None).toDF("t")
