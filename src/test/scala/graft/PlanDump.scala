@@ -104,6 +104,20 @@ object PlanDump extends App {
     "Context-length chunking (64-token windows, stride 48): per-row Generate (posexplode) of O(len/stride) chunks — linear output, no shuffle except the presentation sort; token counts emitted inline so a downstream packer never re-tokenizes.")
   dump("q_pack_sequences", graft.queries.Queries.qPackSequences(spark, sf),
     "Sequence packing (next-fit, 256-token budget): chunk token counts derived ARITHMETICALLY (no chunk strings built), ONE hash exchange co-locates each doc's chunk stats + a partition-local sort, then mapPartitions packs with (partition, seq) ids — no global coordination, no range-sampling job.")
+  dump("q_paragraph_dedup", graft.queries.Queries.qParagraphDedup(spark, sf),
+    "CCNet paragraph dedup: paragraph stream -> ONE md5(par) hash agg whose per-group state is a single BIGINT min (no doc lists), join back on the same key, then ONE doc_id agg reassembles surviving text (collect_list bounded by the longest document). A corpus-frequent paragraph costs one min cell, not a corpus-sized buffer.")
+  dump("q_dedup_bloom", graft.queries.Queries.qDedupBloom(spark, sf),
+    "Bloom-prefiltered incremental dedup: the broadcast sketch rejects definitely-new batch rows AT THE SCAN (they never shuffle); only bloom candidates (true dupes + ~fpp of new) enter the exact LEFT ANTI verification join. The marked batch is persisted so both union branches share one scan. Result is bit-identical to the plain anti-join at any fpp.")
+  dump("q_sessionize", graft.queries.Analytics.qSessionize(spark, sf),
+    "Gap-based sessionization: lag boundary + running-sum session id over the SAME (user_id; us, event_id) window — one user_id exchange serves both; the per-session rollup's exchange moves only map-side-combined session aggregates. Hot users cost one window buffer, never a corpus-sized group.")
+  dump("q_bpe_pairs", graft.queries.Queries.qBpePairs(spark, sf),
+    "BPE training iteration: ONE corpus shuffle (word counts), then adjacent-pair counts aggregate over the VOCAB (bounded by distinct words) into a partial+final hash agg; top-50 is a TakeOrderedAndProject, never a global sort. Each further merge iteration in Bpe.trainSpark repeats exactly this shape plus a 1-row collect.")
+  dump("q_crawl_frontier", graft.queries.Queries.qCrawlFrontier(spark, sf),
+    "Crawl-frontier prioritization: canonical-key hash agg (fetch-list dedup) -> per-row robots filter (rules side host-sized; broadcast shape) -> ONE node-sized join against the fixed-point PageRank ranks; the priority sort is presentation-only (TakeOrdered at dispatch size in production).")
+  dump("q_quality_classifier", graft.queries.Queries.qQualityClassifier(spark, sf),
+    "Hashing-trick linear classifier: token split -> bucket hash -> weight -> sum folded INSIDE one higher-order expression per row — no Generate, no hash exchange (plan-guarded in QueriesSpec); the explode+groupBy formulation would shuffle every token of the corpus to compute a value that never needed to leave its row.")
+  dump("q_inverted_index", graft.queries.Queries.qInvertedIndex(spark, sf),
+    "Inverted index: distinct (term, doc) pairs -> ONE ObjectHashAggregate partial+final pair where the postings head is the custom bounded TopKMinLongs aggregate (fixed k-slot heap state, map-side combinable) — the hot-term case costs 20 longs per task; collect_list would buffer the full postings and a rank window would buffer whole partitions.")
   dump("q_sample_stratified", graft.queries.Queries.qSampleStratified(spark, sf),
     "Deterministic stratified hash sampling: u(doc_id) < rate(source) decided per row with no shuffle and no state — the only Exchange is the presentation sort. Reproducible across runs and partitionings; upsizing a stratum's rate keeps all previously-sampled rows.")
   Files.writeString(Paths.get("/root/repo/PLANS.md"),
