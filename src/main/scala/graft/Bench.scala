@@ -24,6 +24,7 @@ object Bench {
     "q_simhash", "q_quality", "q_quality_classifier", "q_fingerprint",
     "q_gopher_quality", "q_pii_redact", "q_decontaminate", "q_sample_stratified", "q_sample_mixture",
     "q_chunk_fixed", "q_tfidf_top", "q_bpe_pairs", "q_sessionize",
+    "q_inverted_index",
     "q_tpch_pricing", "q_tpch_top_customers", "q_tpch_promo",
     "q_parts_cold", "q_suppliers_hot", "q_events_window", "q_events_asof")
 
