@@ -131,4 +131,21 @@ object Sources {
     import spark.implicits._
     spark.read.text(path).as[String].collect().toSeq
   }
+
+  /** JSONL interchange for the interleaved Doc table — the lingua
+    * franca LLM data pipelines exchange corpora in (one JSON object
+    * per line, so the files are splittable and greppable). Writer is
+    * Spark's native json sink (distributed, one file per partition);
+    * reader pins the schema FROM THE Doc ENCODER — never inferred:
+    * inference costs a full extra pass over 100 TB and drifts when a
+    * sparse field (e.g. media_ref) is absent from a sampled shard. */
+  def writeJsonlDocs(docs: Dataset[graft.pipeline.Doc], path: String): Unit =
+    docs.write.mode("overwrite").json(path)
+
+  def readJsonlDocs(spark: SparkSession, path: String): Dataset[graft.pipeline.Doc] = {
+    import spark.implicits._
+    spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[graft.pipeline.Doc]].schema)
+      .json(path).as[graft.pipeline.Doc]
+  }
 }

@@ -113,4 +113,21 @@ class SourcesSpec extends AnyFunSuite {
     Sources.saveNgrams(spark, ngrams, s"$dir/ngrams")
     assert(Sources.loadNgrams(spark, s"$dir/ngrams").sorted == ngrams.sorted)
   }
+
+  test("JSONL Doc interchange: write/read round trip preserves span sequences; one object per line") {
+    val dir = Files.createTempDirectory("src-jsonl")
+    val docs = graft.pipeline.DocGen.docs(spark, 40, seed = 99L, partitions = 3)
+    Sources.writeJsonlDocs(docs, s"$dir/docs")
+    val back = Sources.readJsonlDocs(spark, s"$dir/docs")
+      .collect().map(d => d.doc_id -> d.spans).toMap
+    val orig = docs.collect().map(d => d.doc_id -> d.spans).toMap
+    assert(back == orig) // kind, text, media_ref, offset — order included
+    // the format really is JSONL: every line of every part file is a
+    // standalone JSON object mentioning doc_id
+    val lines = Files.list(java.nio.file.Paths.get(s"$dir/docs")).toArray
+      .map(_.toString).filter(_.endsWith(".json"))
+      .flatMap(p => scala.io.Source.fromFile(p, "UTF-8").getLines())
+    assert(lines.nonEmpty)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}") && l.contains("\"doc_id\"")))
+  }
 }
