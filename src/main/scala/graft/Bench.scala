@@ -22,7 +22,8 @@ object Bench {
     "q_fix_mojibake", "q_c4_filter",
     "q_ann_cosine", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed", "q_dedup_groups", "q_dedup_simhash",
     "q_simhash", "q_quality", "q_quality_classifier", "q_fingerprint",
-    "q_gopher_quality", "q_pii_redact", "q_decontaminate", "q_sample_stratified", "q_sample_mixture",
+    "q_gopher_quality", "q_pii_redact", "q_decontaminate", "q_sample_stratified",
+    "q_sample_upsample", "q_sample_mixture",
     "q_chunk_fixed", "q_tfidf_top", "q_bpe_pairs", "q_sessionize",
     "q_inverted_index",
     "q_tpch_pricing", "q_tpch_top_customers", "q_tpch_promo",

@@ -98,6 +98,7 @@ object SparkEntry {
     "q_pii_redact" -> (Queries.qPiiRedact(_, _)),
     "q_decontaminate" -> (Queries.qDecontaminate(_, _)),
     "q_sample_stratified" -> (Queries.qSampleStratified(_, _)),
+    "q_sample_upsample" -> (Queries.qSampleUpsample(_, _)),
     "q_sample_mixture" -> (Queries.qSampleMixture(_, _)),
     "q_chunk_fixed" -> (Queries.qChunkFixed(_, _)),
     "q_tfidf_top" -> (Queries.qTfidfTop(_, _)),

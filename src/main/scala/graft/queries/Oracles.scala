@@ -824,6 +824,23 @@ object Oracles {
        |      / POW(2, 60) < (${Queries.SampleRateSql})
        |ORDER BY doc_id""".stripMargin
 
+  /** Upsampling: same u and shared factor SQL; floor(f) copies plus a
+    * probabilistic one — the lateral range is the oracle's explode. */
+  val qSampleUpsample: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      / POW(2, 60) AS u,
+       |    (${Queries.UpsampleFactorSql}) AS f
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor(f) + CASE WHEN u < f - floor(f) THEN 1 ELSE 0 END AS INTEGER) AS copies
+       |  FROM b)
+       |SELECT doc_id, source, CAST(i AS INTEGER) AS copy
+       |FROM c, LATERAL (SELECT unnest(range(0, copies)) AS i) u2
+       |ORDER BY doc_id, copy""".stripMargin
+
   /** Boilerplate-strip oracle: the same deterministic span construction
     * (3-token text spans at even ords; an image span after text span k
     * where (doc_id + k) % 5 = 0), then text spans with cross-doc
@@ -1139,6 +1156,7 @@ object Oracles {
     "q_pii_redact" -> qPiiRedact,
     "q_decontaminate" -> qDecontaminate,
     "q_sample_stratified" -> qSampleStratified,
+    "q_sample_upsample" -> qSampleUpsample,
     "q_chunk_fixed" -> qChunkFixed,
     "q_tfidf_top" -> qTfidfTop,
     "q_bpe_pairs" -> qBpePairs)

@@ -2055,4 +2055,39 @@ object Queries {
       .select($"doc_id", $"source", round($"u", 6).as("u"))
       .orderBy($"doc_id")
   }
+
+  /** Per-source repeat factors for upsampling (dialect-neutral SQL,
+    * shared verbatim with the oracle): high-quality sources repeat 2.5
+    * epochs, mid 1.0, tail 0.25 — the fractional parts exercise the
+    * probabilistic extra copy. */
+  val UpsampleFactorSql: String =
+    """CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2.5
+      |     WHEN source IN ('src5','src6','src7','src8','src9') THEN 1.0
+      |     ELSE 0.25 END""".stripMargin
+
+  /** Mixture UPSAMPLING — the other half of data-mixture construction
+    * (qSampleMixture/qSampleStratified subsample; training recipes
+    * also REPEAT high-quality sources for multiple epochs, e.g. the
+    * Llama/Gopher mixture tables). Each doc emits floor(f) copies plus
+    * one more when u(doc_id) < frac(f) — so expected copies = f
+    * exactly, deterministic and reproducible (same u as the stratified
+    * sampler: raising a factor keeps all previously emitted copies).
+    * Scale: per-row sequence explode, output linear in the token
+    * budget, NO shuffle besides the presentation sort. The copy index
+    * rides along so downstream shuffles can decorrelate epochs. */
+  def qSampleUpsample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.HexPrefix64.hexPrefix64
+    docsDf(s, dir)
+      .select($"doc_id", $"source",
+        (hexPrefix64(md5($"doc_id".cast("string"))) /
+          lit(math.pow(2, 60))).as("u"),
+        expr(UpsampleFactorSql).as("f"))
+      .withColumn("copies",
+        (floor($"f") + when($"u" < $"f" - floor($"f"), 1).otherwise(0)).cast("int"))
+      .where($"copies" > 0)
+      .select($"doc_id", $"source",
+        explode(sequence(lit(0), $"copies" - 1)).as("copy"))
+      .orderBy($"doc_id", $"copy")
+  }
 }

@@ -62,4 +62,26 @@ class UrlOpsSpec extends AnyFunSuite {
       assert(canonicalize(once) == once, u)
     }
   }
+
+  test("idempotence + totality over generated messy URLs (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val seg = Gen.oneOf("a", "B", ".", "..", "%2F", "%41", "%zz", "x y", "")
+    val messy: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS")
+      host <- Gen.oneOf("Ex.Com", "ex.com.", "user:pw@Ex.Com", "ex.com:443", "ex.com:8080")
+      nSeg <- Gen.chooseNum(0, 5)
+      segs <- Gen.listOfN(nSeg, seg)
+      q <- Gen.oneOf("", "?utm_source=x&b=2&a=1", "?a=1&a=0&flag", "?=v&k=")
+      frag <- Gen.oneOf("", "#frag")
+    } yield s"$scheme://$host/${segs.mkString("/")}$q$frag"
+    val urls = (0 until 300)
+      .flatMap(i => messy.apply(Gen.Parameters.default, Seed(1234L + i)))
+    urls.foreach { u =>
+      val once = canonicalize(u) // totality: must never throw
+      assert(canonicalize(once) == once, s"not idempotent for <$u> -> <$once>")
+      assert(!once.contains("#"), s"fragment survived in <$once>")
+      assert(!once.contains("utm_source"), s"tracking param survived in <$once>")
+    }
+  }
 }
