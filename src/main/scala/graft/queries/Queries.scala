@@ -570,17 +570,28 @@ object Queries {
     * caller consumes it more than once (qDedupGroups: band projection +
     * candidate verification); qDedupMinhash reads it exactly once and
     * skips the persist. */
-  private[queries] def minhashMins(s: SparkSession, dir: String,
-      cache: Boolean = false): DataFrame = {
+  /** Per-doc 64 MinHash row-mins over any (doc_id, text) relation —
+    * shared by the battery queries (Long ids from the documents table)
+    * and the production Doc-surface API ([[graft.pipeline.Dedup]],
+    * String ids). No cache registration here: callers own the
+    * lifecycle. */
+  private[graft] def minhashMinsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import graft.functions.HexPrefix64.hexPrefix64
-    val sh = docsDf(s, dir).where(length($"text") >= 8)
+    val sh = docs.where(length($"text") >= 8)
       .select($"doc_id",
         explode(graft.functions.CharNgrams.charNgrams($"text", 8, 8)).as("sh"))
       .select($"doc_id", (hexPrefix64(md5($"sh")) % MinHashDefs.P).as("h"))
     val aggs = MinHashDefs.minAggSqls("h")
-    val mins = sh.groupBy($"doc_id")
+    sh.groupBy($"doc_id")
       .agg(expr(aggs.head), aggs.tail.map(expr): _*)
+  }
+
+  private[queries] def minhashMins(s: SparkSession, dir: String,
+      cache: Boolean = false): DataFrame = {
+    import s.implicits._
+    val mins = minhashMinsOf(docsDf(s, dir).select($"doc_id", $"text"))
     if (cache)
       registerCache(mins.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -589,7 +600,7 @@ object Queries {
 
   /** Per-doc (band, sig) rows — the shared core of qDedupMinhash
     * (bucket summary) and qDedupGroups (candidate edges). */
-  private[queries] def minhashBandSigs(mins: DataFrame): DataFrame = {
+  private[graft] def minhashBandSigs(mins: DataFrame): DataFrame = {
     import mins.sparkSession.implicits._
     mins.select($"doc_id", expr(MinHashDefs.stackSparkSql))
       .select($"doc_id", $"band", $"sig")
