@@ -35,6 +35,7 @@ object SparkEntry {
     "q_lm_perplexity" -> (Queries.qLmPerplexity(_, _)),
     "q_len_percentiles" -> (Queries.qLenPercentiles(_, _)),
     "q_substring_dup" -> (Queries.qSubstringDup(_, _)),
+    "q_substring_rewrite" -> (Queries.qSubstringRewrite(_, _)),
     "q_training_join" -> (Queries.qTrainingJoin(_, _)),
     // training: error model (D rows)
     "q_confusion_counts" -> (Queries.qConfusionCounts(_, _)),
@@ -90,6 +91,8 @@ object SparkEntry {
     // training-data pipeline: text analysis
     "q_quality" -> (Queries.qQuality(_, _)),
     "q_quality_classifier" -> (Queries.qQualityClassifier(_, _)),
+    "q_nb_train" -> (Queries.qNbTrain(_, _)),
+    "q_nb_classify" -> (Queries.qNbClassify(_, _)),
     "q_inverted_index" -> (Queries.qInvertedIndex(_, _)),
     "q_token_count_regex" -> (Queries.qTokenCountRegex(_, _)),
     "q_lang_id" -> (Queries.qLangId(_, _)),

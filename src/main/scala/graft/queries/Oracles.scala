@@ -172,6 +172,38 @@ object Oracles {
       |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Substring-dedup rewrite: first occurrence (min pos64) of every
+    * 40-gram keeps its chars; later occurrences' intervals are removed.
+    * The oracle rebuilds kept text PER-CHAR (NOT EXISTS against dup
+    * intervals) — naive but obviously-correct; the engine merges
+    * intervals instead (see Queries.qSubstringRewrite). */
+  val qSubstringRewrite: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
+      |    CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 40)), 1, 15)) AS BIGINT) AS gh,
+      |    doc_id * 1000000 + CAST(i AS INTEGER) - 1 AS pos64
+      |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i) u
+      |  WHERE length(text) >= 40
+      |), firsts AS (SELECT gh, min(pos64) AS keep_pos FROM g GROUP BY gh),
+      |dup AS (
+      |  SELECT g.doc_id, g.pos FROM g JOIN firsts USING (gh)
+      |  WHERE g.pos64 > firsts.keep_pos
+      |), chars AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS i, substr(text, CAST(i AS INTEGER), 1) AS ch
+      |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+      |), kept AS (
+      |  SELECT c.doc_id, c.i, c.ch FROM chars c
+      |  WHERE NOT EXISTS (SELECT 1 FROM dup d
+      |    WHERE d.doc_id = c.doc_id AND c.i - 1 >= d.pos AND c.i - 1 < d.pos + 40)
+      |), agg AS (
+      |  SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
+      |  CAST(length(d.text) - COALESCE(length(a.clean_text), 0) AS BIGINT) AS removed,
+      |  COALESCE(a.clean_text, '') AS clean_text
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val qDedupExact: String =
     """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
@@ -445,6 +477,46 @@ object Oracles {
       |  FROM documents)
       |SELECT doc_id, score, score > 0 AS keep
       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Naive-Bayes training: the same pseudo-labels (doc_id % 2 = 0),
+    * token split, Laplace-1 counts and log-likelihood-ratio weights.
+    * Training is counting, so the oracle is exact — no float
+    * aggregation anywhere (ln runs once per term over integers, then
+    * rounds to 6 decimals like every other ln in the battery). */
+  private val nbCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id, term
+      |  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS term) u
+      |  WHERE term <> ''),
+      |cnt AS (
+      |  SELECT term,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+      |  FROM t GROUP BY term),
+      |tot AS (SELECT sum(c_pos) AS tp, sum(c_neg) AS tn, count(*) AS v FROM cnt),
+      |w AS (
+      |  SELECT term, c_pos, c_neg,
+      |    round(ln((c_pos + 1) / CAST(tp + v AS DOUBLE))
+      |        - ln((c_neg + 1) / CAST(tn + v AS DOUBLE)), 6) AS weight
+      |  FROM cnt, tot)""".stripMargin
+
+  val qNbTrain: String =
+    s"""$nbCtes
+       |SELECT term, c_pos, c_neg, weight FROM w ORDER BY term""".stripMargin
+
+  /** Classification: per-doc sum of 1e6-scaled fixed-point weights
+    * (BIGINT — aggregation-order-independent), keep = score > 0; docs
+    * with no tokens survive the LEFT join-back at score 0. */
+  val qNbClassify: String =
+    s"""$nbCtes,
+       |wfp AS (SELECT term, CAST(round(weight * 1e6) AS BIGINT) AS wfp FROM w),
+       |sc AS (
+       |  SELECT t.doc_id, sum(COALESCE(wfp.wfp, 0)) AS score_fp
+       |  FROM t LEFT JOIN wfp USING (term) GROUP BY t.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(sc.score_fp, 0) AS BIGINT) AS score_fp,
+       |       COALESCE(sc.score_fp, 0) > 0 AS keep
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   val qQuality: String =
     """WITH t AS (
@@ -1120,6 +1192,7 @@ object Oracles {
     "q_lm_perplexity" -> qLmPerplexity,
     "q_len_percentiles" -> qLenPercentiles,
     "q_substring_dup" -> qSubstringDup,
+    "q_substring_rewrite" -> qSubstringRewrite,
     "q_sample_mixture" -> qSampleMixture,
     "q_ngram_topk" -> qNgramTopk,
     "q_st_ngrams" -> qStNgrams,
@@ -1139,6 +1212,8 @@ object Oracles {
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
     "q_quality_classifier" -> qQualityClassifier,
+    "q_nb_train" -> qNbTrain,
+    "q_nb_classify" -> qNbClassify,
     "q_inverted_index" -> qInvertedIndex,
     "q_tpch_pricing" -> qTpchPricing,
     "q_tpch_top_customers" -> qTpchTopCustomers,

@@ -4,7 +4,7 @@ import graft.align.Distance
 import graft.correct.{CompiledModel, Corrector}
 import graft.pipeline.DocGen
 import graft.tokenize.Tokenizer
-import graft.train.{Category, ErrorModelTrainer, LexiconBuilder}
+import graft.train.{Category, ErrorModelTrainer, LexiconBuilder, NaiveBayes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -932,6 +932,70 @@ object Queries {
         coalesce($"dup_grams", lit(0L)).as("dup_grams"),
         coalesce($"covered", lit(0L)).as("covered"),
         round(coalesce($"covered", lit(0L)) / $"n_chars", 6).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact substring-dedup REWRITE — the removal half of the Lee et
+    * al. 2022 ExactSubstr dedup (qSubstringDup measures; this one
+    * deduplicates): every occurrence of a duplicated 40-char gram
+    * EXCEPT the globally first (min pos64 = doc_id·1e6 + pos, the
+    * qParagraphDedup total order; within-doc repeats dedup too) has
+    * its interval removed, intervals union per doc, the text is
+    * reassembled from the uncovered segments.
+    *
+    * Scale shape: per-position grams carry 8-byte hash keys, ONE
+    * repartition by gram hash feeds both the min-pos64 aggregate and
+    * the join-back; island merge + segment reassembly are doc-local
+    * (window + collect_list both ride ONE doc_id exchange — the
+    * (doc_id, islId) aggregate and the interval list reuse the window's
+    * partitioning; per-doc state is bounded by doc length / K, never
+    * corpus-sized). The oracle rebuilds the kept text per-char — an
+    * O(len·dups) formulation that is fine for DuckDB at test SF but
+    * would be a 100× row blowup in the engine, which is why the Spark
+    * side merges intervals instead. Positions assume doc length < 1e6
+    * chars (same bound as qParagraphDedup's pos64). */
+  def qSubstringRewrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.HexPrefix64.hexPrefix64
+    val K = 40
+    val grams = docsDf(s, dir).where(length($"text") >= K)
+      .select($"doc_id",
+        posexplode(graft.functions.CharNgrams.charNgrams($"text", K, K)))
+      .select($"doc_id", $"pos", hexPrefix64(md5($"col")).as("gh"),
+        ($"doc_id" * 1000000L + $"pos").as("pos64"))
+      .repartition($"gh")
+    registerCache(
+      grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val firsts = grams.groupBy($"gh").agg(min($"pos64").as("keep_pos"))
+    val dups = grams.join(firsts, "gh") // same gh partitioning: no exchange
+      .where($"pos64" > $"keep_pos")
+      .select($"doc_id", $"pos")
+    val wPrev = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = dups
+      .withColumn("prevEnd", max($"pos" + K).over(wPrev))
+      .withColumn("newIsl",
+        when($"prevEnd".isNull || $"prevEnd" < $"pos", 1).otherwise(0))
+      .withColumn("islId", sum($"newIsl").over(wRun))
+      .groupBy($"doc_id", $"islId") // rides the window's doc_id exchange
+      .agg(min($"pos").as("start"), max($"pos" + K).as("end"))
+    val ivs = merged.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"start", $"end"))).as("ivs"))
+    docsDf(s, dir).join(ivs, Seq("doc_id"), "left")
+      .select($"doc_id", length($"text").as("n_chars"),
+        when($"ivs".isNull, $"text").otherwise(expr(
+          """aggregate(ivs, named_struct('acc', '', 'p', 0),
+            |  (st, iv) -> named_struct(
+            |    'acc', concat(st.acc, substring(text, st.p + 1, iv.start - st.p)),
+            |    'p', iv.end),
+            |  st -> concat(st.acc, substring(text, st.p + 1, length(text) - st.p)))"""
+            .stripMargin)).as("clean_text"))
+      .select($"doc_id", $"n_chars",
+        ($"n_chars" - length($"clean_text")).cast("long").as("removed"),
+        $"clean_text")
       .orderBy($"doc_id")
   }
 
@@ -1876,6 +1940,32 @@ object Queries {
         aggregate(weights, lit(0L), (acc, w) => acc + w).as("score"))
       .withColumn("keep", $"score" > 0)
       .orderBy($"doc_id")
+  }
+
+  /** Distributed Naive-Bayes classifier TRAINING
+    * ([[graft.train.NaiveBayes.trainWeights]]) — the trained
+    * counterpart of qQualityClassifier's fixed-formula weights. Labels
+    * are deterministic pseudo-labels (doc_id % 2 = 0 → positive; the
+    * synthetic corpus carries no labels — the same augmentation
+    * discipline as the PII populations), stated identically in the
+    * oracle. Training is one explode → one (term) hash agg; totals
+    * stay in-plan. Oracle-exact because NB training is counting, not
+    * gradient descent. */
+  def qNbTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    NaiveBayes.trainWeights(docsDf(s, dir), $"doc_id" % 2 === 0)
+      .orderBy($"term")
+  }
+
+  /** Classification under the q_nb_train weights
+    * ([[graft.train.NaiveBayes.score]]): per-doc fixed-point sum of
+    * term log-likelihood ratios, keep = score > 0. Train and classify
+    * compose in ONE plan (the qCrawlFrontier discipline) — the weights
+    * subplan is re-derived, the oracle restates it as CTEs. */
+  def qNbClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = NaiveBayes.trainWeights(docsDf(s, dir), $"doc_id" % 2 === 0)
+    NaiveBayes.score(docsDf(s, dir), weights).orderBy($"doc_id")
   }
 
   /** TF-IDF top terms per document (keyword extraction): tf = term count

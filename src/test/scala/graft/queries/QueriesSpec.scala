@@ -489,6 +489,43 @@ class QueriesSpec extends AnyFunSuite {
     assert(expect.values.exists(_._2 > 0), "fixture must contain duplicated substrings")
   }
 
+  test("substring-dedup rewrite equals a brute-force first-occurrence mask") {
+    import spark.implicits._
+    val K = 40
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    // brute force: first occurrence of each gram (by (doc_id, pos)
+    // order) keeps its chars; every later occurrence's interval is
+    // masked; kept text = unmasked chars in order
+    val firstPos = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    rows.foreach { case (id, t) =>
+      (0 to t.length - K).foreach { i =>
+        val g = t.substring(i, i + K)
+        if (!firstPos.contains(g)) firstPos(g) = (id, i)
+      }
+    }
+    val expect = rows.map { case (id, t) =>
+      val mask = new Array[Boolean](t.length)
+      (0 to t.length - K).foreach { i =>
+        if (firstPos(t.substring(i, i + K)) != ((id, i)))
+          (i until i + K).foreach(mask(_) = true)
+      }
+      id -> t.zipWithIndex.collect { case (c, i) if !mask(i) => c }.mkString
+    }.toMap
+    val got = Queries.qSubstringRewrite(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    Queries.releaseCaches()
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, clean) =>
+      val (nChars, removed, gotClean) = got(id)
+      assert(gotClean == clean, s"doc $id")
+      assert(removed == nChars - clean.length, s"doc $id removed count")
+    }
+    assert(expect.exists { case (id, clean) =>
+      clean.length < rows.find(_._1 == id).get._2.length
+    }, "fixture must actually remove duplicated substrings somewhere")
+  }
+
   test("optimizer-config equality: AQE off yields identical results on shuffle-heavy queries") {
     // different physical plans (no runtime re-plan, no broadcast
     // conversion) must not change VALUES — guards against
