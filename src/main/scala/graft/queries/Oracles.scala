@@ -364,7 +364,10 @@ object Oracles {
     * bit-identical refined centroids. sum(BIGINT) is HUGEINT in DuckDB
     * — cast to DOUBLE before dividing (magnitudes ~1e10 << 2^53, the
     * cast is exact). */
-  val qAnnIvf: String =
+  /** Shared IVF cell CTEs (seed centroids → one fixed-point Lloyd
+    * refinement → final cell assignment) — the common core of
+    * qAnnIvf and qSemdedup. */
+  private val ivfCellCtes: String =
     """WITH cents0 AS (
       |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 16
       |), assign0 AS (
@@ -388,7 +391,10 @@ object Oracles {
       |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(cv, cv))) DESC,
       |    cent_id ASC) AS rn
       |  FROM embeddings e CROSS JOIN cents
-      |), cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1),
+      |), cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1)""".stripMargin
+
+  val qAnnIvf: String =
+    s"""$ivfCellCtes,
       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
       |probes AS (
       |  SELECT cent_id FROM cents, q
@@ -400,6 +406,26 @@ object Oracles {
       |FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id, q
       |WHERE cells.cell IN (SELECT cent_id FROM probes)
       |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+
+  /** SemDeDup: same IVF cells; per vector the max pair-rounded cosine
+    * to any lower-id member of its cell, keep when below threshold. */
+  val qSemdedup: String =
+    s"""$ivfCellCtes,
+      |av AS (
+      |  SELECT c.vec_id, c.cell, CAST(e.embedding AS DOUBLE[]) AS ev
+      |  FROM cells c JOIN embeddings e ON e.vec_id = c.vec_id
+      |), pm AS (
+      |  SELECT a.vec_id,
+      |    max(round(list_dot_product(a.ev, b.ev)
+      |      / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 4)) AS max_prior_sim
+      |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id > b.vec_id
+      |  GROUP BY a.vec_id
+      |)
+      |SELECT c.vec_id, c.cell,
+      |  COALESCE(pm.max_prior_sim, -2.0) AS max_prior_sim,
+      |  COALESCE(pm.max_prior_sim, -2.0) < 0.35 AS keep
+      |FROM cells c LEFT JOIN pm ON c.vec_id = pm.vec_id
+      |ORDER BY c.vec_id""".stripMargin
 
   /** Native DuckDB ASOF JOIN as the oracle for the union+window as-of
     * implementation (independent algorithms, same semantics; view/
@@ -1225,6 +1251,7 @@ object Oracles {
     "q_events_asof" -> qEventsAsof,
     "q_sessionize" -> qSessionize,
     "q_ann_ivf" -> qAnnIvf,
+    "q_semdedup" -> qSemdedup,
     "q_token_count_regex" -> qTokenCountRegex,
     "q_fingerprint" -> qFingerprint,
     "q_gopher_quality" -> qGopherQuality,

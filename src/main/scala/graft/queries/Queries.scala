@@ -1682,6 +1682,60 @@ object Queries {
       .orderBy(desc("cos"), asc("ida"), asc("idb")).limit(20)
   }
 
+  /** SemDeDup (Abbas et al. 2023): SEMANTIC dedup over embeddings —
+    * cluster the corpus with the IVF coarse quantizer (the same
+    * fixed-point Lloyd refinement as qAnnIvf, bit-reproducible in the
+    * oracle), then inside each cluster drop every vector whose cosine
+    * to some LOWER-ID vector of the same cluster reaches the
+    * threshold (greedy keep-first — deterministic; the paper keeps
+    * the member farthest from the centroid, an arbitrary-but-fixed
+    * choice we replace with the battery's min-id keeper discipline).
+    *
+    * Scale shape: within-cluster pairwise similarity IS the published
+    * algorithm — quadratic in CLUSTER size, bounded by making k scale
+    * with the corpus (the paper uses k ≈ 100k on LAION; here the
+    * fixture quantizer has 16 cells). The pairwise join rides ONE
+    * repartition by cell; the per-vector max collapses narrow
+    * (vec_id, cell, cos) rows map-side. Cluster balance is surfaced
+    * via observe (semdedup_cells: max/avg cell size) instead of a
+    * silent assumption. */
+  def qSemdedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the synthetic embeddings carry no true semantic dups (cf. the
+    // qDedupEmbed note) — the demonstration threshold sits inside the
+    // observed within-cell similarity range so BOTH keep branches are
+    // exercised and oracled; a production run sets tau ≈ 0.95+
+    val tau = 0.35
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val cents = registerCache(ivfRefine(e, ivfSeedCentroids(e))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    ensureObserveListener(s)
+    val av = ivfAssign(e, cents).join(e, "vec_id")
+      .observe("semdedup_cells", count(lit(1)).as("vectors"))
+      .repartition($"cell")
+    registerCache(
+      av.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dot = "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    def nrm(c: String) =
+      s"sqrt(aggregate($c, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    // for each vector, its max cosine to any LOWER-ID member of the
+    // same cell (rounded per pair, like qDedupEmbed, so max is exact)
+    val priorMax = av.as("a")
+      .join(av.as("b"), $"a.cell" === $"b.cell" && $"a.vec_id" > $"b.vec_id")
+      .select($"a.vec_id".as("vec_id"), $"a.cell".as("cell"),
+        $"a.embedding".as("ea"), $"b.embedding".as("eb"))
+      .select($"vec_id", $"cell",
+        round(expr(s"$dot / (${nrm("ea")} * ${nrm("eb")})"), 4).as("cs"))
+      .groupBy($"vec_id", $"cell")
+      .agg(max($"cs").as("max_prior_sim"))
+    av.select($"vec_id", $"cell") // reuse the persisted assignment
+      .join(priorMax.drop("cell"), Seq("vec_id"), "left")
+      .select($"vec_id", $"cell",
+        coalesce($"max_prior_sim", lit(-2.0)).as("max_prior_sim"))
+      .withColumn("keep", $"max_prior_sim" < tau)
+      .orderBy($"vec_id")
+  }
+
   /** Multimodal plumbing (rows-only): synthesize media for a Doc table
     * derived from documents, decode (stub) + extract features. */
   def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {

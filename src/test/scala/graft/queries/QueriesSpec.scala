@@ -526,6 +526,26 @@ class QueriesSpec extends AnyFunSuite {
     }, "fixture must actually remove duplicated substrings somewhere")
   }
 
+  test("semdedup: greedy keep-first — the lowest vec_id of every cell survives") {
+    Queries.clearObserved("semdedup_cells")
+    val rows = Queries.qSemdedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    Queries.releaseCaches()
+    // per cell the first (min vec_id) member has no lower-id neighbor:
+    // sentinel similarity and keep must both say so
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val first = members.minBy(_._1)
+      assert(first._3 == -2.0 && first._4, s"cell $cell first member ${first._1}")
+    }
+    // keep is exactly the documented threshold rule
+    rows.foreach { case (id, _, sim, keep) =>
+      assert(keep == (sim < 0.35), s"vec $id")
+    }
+    // cluster balance is observed, not assumed
+    val obs = Queries.lastObserved("semdedup_cells")
+    assert(obs.exists(_("vectors").asInstanceOf[Long] == rows.length))
+  }
+
   test("optimizer-config equality: AQE off yields identical results on shuffle-heavy queries") {
     // different physical plans (no runtime re-plan, no broadcast
     // conversion) must not change VALUES — guards against
