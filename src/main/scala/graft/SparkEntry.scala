@@ -107,6 +107,7 @@ object SparkEntry {
     "q_chunk_fixed" -> (Queries.qChunkFixed(_, _)),
     "q_tfidf_top" -> (Queries.qTfidfTop(_, _)),
     "q_bpe_pairs" -> (Queries.qBpePairs(_, _)),
+    "q_bpe_encode" -> (Queries.qBpeEncode(_, _)),
     // rows-only: greedy packing is order-dependent, not SQL-expressible;
     // invariants (exact cover, budget, determinism) are spec-pinned
     "q_pack_sequences" -> (Queries.qPackSequences(_, _)))

@@ -480,6 +480,30 @@ object Oracles {
       |FROM p GROUP BY a, b
       |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin
 
+  /** BPE APPLICATION oracle — an independent encoder: words become
+    * STX·sym·ETX delimited units; each pinned merge is ONE
+    * non-overlapping left-to-right `replace` of the delimited pair
+    * (delimited units make adjacent matches non-overlapping by
+    * construction, so greedy replace = the reference's greedy
+    * scan-and-skip). The merge chain is generated from the same pinned
+    * constant the Spark side uses. */
+  val qBpeEncode: String = {
+    val init = """regexp_replace(w, '(.)', chr(2) || '\1' || chr(3), 'g')"""
+    val chain = Queries.BpeFixtureMerges.foldLeft(init) { case (acc, (a, b)) =>
+      s"replace($acc, chr(2)||'$a'||chr(3)||chr(2)||'$b'||chr(3), chr(2)||'$a$b'||chr(3))"
+    }
+    s"""WITH wc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS w) u
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       |enc AS (SELECT $chain AS s, c FROM wc),
+       |tok AS (
+       |  SELECT unnest(string_split(substr(s, 2, length(s) - 2), chr(3) || chr(2))) AS token, c
+       |  FROM enc)
+       |SELECT token, CAST(sum(c) AS BIGINT) AS cnt
+       |FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 200""".stripMargin
+  }
+
   /** Inverted index: df + the 20 lowest doc_ids per term (DuckDB may
     * buffer the full list; the Spark side must not). */
   val qInvertedIndex: String =
@@ -1261,5 +1285,6 @@ object Oracles {
     "q_sample_upsample" -> qSampleUpsample,
     "q_chunk_fixed" -> qChunkFixed,
     "q_tfidf_top" -> qTfidfTop,
-    "q_bpe_pairs" -> qBpePairs)
+    "q_bpe_pairs" -> qBpePairs,
+    "q_bpe_encode" -> qBpeEncode)
 }

@@ -1948,6 +1948,49 @@ object Queries {
       .orderBy(desc("cnt"), asc("a"), asc("b")).limit(50)
   }
 
+  /** The pinned tokenizer for [[qBpeEncode]]: `Bpe.trainLocal` output
+    * (16 merges) over the sf0.001 alphabetic word vocabulary —
+    * provenance re-derived by a spec, so the constant cannot drift
+    * from the trainer. Public for that spec. */
+  val BpeFixtureMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "o" -> "r", "i" -> "n", "o" -> "w", "s" -> "t",
+    "l" -> "u", "a" -> "r", "p" -> "ar", "m" -> "er", "a" -> "t",
+    "a" -> "n", "c" -> "an", "s" -> "can", "c" -> "o", "co" -> "lu",
+    "colu" -> "m")
+
+  /** BPE tokenizer APPLICATION at corpus scale — the counterpart of
+    * [[qBpePairs]] (training): segment every word under a trained
+    * merge list and produce the corpus token-frequency table, the
+    * input to token-budget accounting in an LLM data pipeline.
+    *
+    * Scale shape: the tokenizer runs ONCE PER DISTINCT WORD, not once
+    * per occurrence — one corpus shuffle builds the word-frequency
+    * vocab, the (vocab-bounded) typed flatMap applies the merges, and
+    * the token counts aggregate partial+final with the word count as
+    * the weight. At 100 TB the encode cost is O(|vocab|), invariant to
+    * corpus growth; top-200 is a TakeOrderedAndProject, never a global
+    * sort.
+    *
+    * The oracle is an INDEPENDENT implementation: each word becomes
+    * STX·sym·ETX delimited units and each merge is one non-overlapping
+    * left-to-right `replace` of the delimited pair — proven equivalent
+    * to the reference scan-and-skip semantics (the delimiters make
+    * adjacent matches non-overlapping by construction, so greedy
+    * replace = greedy scan). */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = docsDf(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .where($"w".rlike("^[a-z]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    wc.as[(String, Long)]
+      .flatMap { case (w, c) =>
+        graft.train.Bpe.encode(w, BpeFixtureMerges).map(t => (t, c)) }
+      .toDF("token", "c")
+      .groupBy($"token").agg(sum($"c").as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(200)
+  }
+
   /** INVERTED-INDEX construction — per term: document frequency and a
     * BOUNDED postings head (the 20 lowest doc_ids), the search-index
     * product a crawl pipeline ships. The bound is what makes this

@@ -45,4 +45,23 @@ class BpeSpec extends AnyFunSuite {
     val dist = Bpe.trainSpark(spark, docs, "text", 20)
     assert(dist == local)
   }
+
+  test("q_bpe_encode's pinned merge list IS trainLocal over the sf0.001 alpha vocab") {
+    // provenance pin: the constant in Queries cannot drift from the
+    // trainer — re-derive it from the same corpus + scope rule
+    import spark.implicits._
+    val wc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").as[String].collect()
+      .flatMap(_.split(" ")).filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(Bpe.trainLocal(wc, 16) == graft.queries.Queries.BpeFixtureMerges)
+  }
+
+  test("encode cascades merges in training order (multi-char symbols, repeats)") {
+    val merges = Seq("a" -> "a", "aa" -> "b", "c" -> "aab")
+    // greedy left-to-right: aaab → [aa, a, b]; (aa,b) needs adjacency → no-op
+    assert(Bpe.encode("aaab", merges) == Vector("aa", "a", "b"))
+    // full cascade: caab → [c, aa, b] → [c, aab] → [caab]
+    assert(Bpe.encode("caab", merges) == Vector("caab"))
+  }
 }
