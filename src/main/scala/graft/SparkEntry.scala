@@ -92,6 +92,7 @@ object SparkEntry {
     // training-data pipeline: text analysis
     "q_quality" -> (Queries.qQuality(_, _)),
     "q_quality_classifier" -> (Queries.qQualityClassifier(_, _)),
+    "q_dsir" -> (Queries.qDsir(_, _)),
     "q_nb_train" -> (Queries.qNbTrain(_, _)),
     "q_nb_classify" -> (Queries.qNbClassify(_, _)),
     "q_inverted_index" -> (Queries.qInvertedIndex(_, _)),

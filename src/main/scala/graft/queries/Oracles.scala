@@ -568,6 +568,32 @@ object Oracles {
        |FROM documents d LEFT JOIN sc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** DSIR: same hashed-bigram buckets, Laplace-1 unigram models,
+    * per-bucket ln rounded to 1e9 fixed point before the per-doc
+    * BIGINT sum (order-independent); docs without bigrams survive the
+    * LEFT join-back at weight 0 like qNbClassify. */
+  val qDsir: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang, list_transform(range(2, len(ws) + 1),
+      |    i -> ws[CAST(i AS INTEGER) - 1] || ' ' || ws[CAST(i AS INTEGER)]) AS bgs FROM d),
+      |occ AS (
+      |  SELECT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+      |  FROM bg, LATERAL (SELECT unnest(bgs) AS g) u),
+      |cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS cs, CAST(sum(is_t) AS BIGINT) AS ct FROM occ GROUP BY b),
+      |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ns, CAST(sum(ct) AS BIGINT) AS nt FROM cnt),
+      |lr AS (SELECT b, CAST(round((ln((ct + 1.0) / (nt + 1024)) - ln((cs + 1.0) / (ns + 1024))) * 1e9) AS BIGINT) AS lr9 FROM cnt, tot),
+      |sc AS (
+      |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS nb, sum(lr.lr9) AS s9
+      |  FROM bg, LATERAL (SELECT unnest(bgs) AS g) u
+      |  JOIN lr ON lr.b = CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024
+      |  GROUP BY bg.doc_id)
+      |SELECT d.doc_id, d.lang, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+      |       round(CAST(COALESCE(sc.s9, 0) AS DOUBLE) / 1e9, 6) AS logw
+      |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   val qQuality: String =
     """WITH t AS (
       |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
@@ -1262,6 +1288,7 @@ object Oracles {
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
     "q_quality_classifier" -> qQualityClassifier,
+    "q_dsir" -> qDsir,
     "q_nb_train" -> qNbTrain,
     "q_nb_classify" -> qNbClassify,
     "q_inverted_index" -> qInvertedIndex,

@@ -5,7 +5,7 @@ import graft.correct.{CompiledModel, Corrector}
 import graft.pipeline.DocGen
 import graft.tokenize.Tokenizer
 import graft.train.{Category, ErrorModelTrainer, LexiconBuilder, NaiveBayes}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The driver-checked operator battery (SURVEY.md §2 inventory →
@@ -2036,6 +2036,71 @@ object Queries {
       .select($"doc_id",
         aggregate(weights, lit(0L), (acc, w) => acc + w).as("score"))
       .withColumn("keep", $"score" > 0)
+      .orderBy($"doc_id")
+  }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * importance log-weight log(p_target/p_raw) under bag-of-hashed-
+    * bigram unigram models — target = the `lang = 'en'` slice, raw =
+    * the whole corpus, 1024 hash buckets (the shared md5-prefix hash),
+    * Laplace-1 smoothing.
+    *
+    * Scale shape: TRAINING is one tiny partial+final hash agg (1024
+    * groups) over the bigram stream with in-plan totals; the trained
+    * per-bucket log-ratio table folds to a 1-row map (≤1024 entries —
+    * the justified broadcast case) and SCORING is a pure per-row
+    * lambda fold over each doc's bigrams against that broadcast map:
+    * the corpus never shuffles to be scored (the explode + join-back +
+    * groupBy formulation would shuffle every bigram of a 100-TB corpus
+    * to rebuild per-doc sums that never needed to leave the row).
+    * Per-bucket ln is rounded to 1e9 fixed point BEFORE the per-doc
+    * BIGINT sum, so aggregation order cannot move the result (the
+    * battery's nats9 discipline). */
+  def qDsir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.HexPrefix64.hexPrefix64
+    val B = 1024L
+    // bigrams via zip_with(slice, slice): `ws` is referenced only
+    // OUTSIDE lambdas — projection collapse inlines the split+filter,
+    // and a reference inside a lambda body would re-evaluate it PER
+    // ELEMENT (measured 30s -> <1s at sf0.1 for the counts agg)
+    val bigramsOf = (ws: Column) => when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    val bg = docsDf(s, dir)
+      .select($"doc_id", $"lang",
+        bigramsOf(filter(split($"text", " "), t => length(t) > 0)).as("bgs"))
+    val counts = registerCache(bg
+      .select($"lang", explode($"bgs").as("g"))
+      .select((hexPrefix64(md5($"g")) % B).as("b"),
+        ($"lang" === "en").cast("long").as("is_t"))
+      .groupBy($"b")
+      .agg(count(lit(1)).as("cs"), sum($"is_t").as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = counts.agg(sum($"cs").as("ns"), sum($"ct").as("nt"))
+    // dense 1024-slot array (index = bucket) instead of a map: the
+    // per-bigram lookup at scoring time is O(1) array indexing —
+    // element_at on MapData is a LINEAR scan, 1024 compares per bigram.
+    // Slots for buckets absent from the corpus get the smoothed
+    // (ct=0, cs=0) ratio, computed from the same in-plan totals.
+    val lrArr = counts.crossJoin(broadcast(totals))
+      .select($"b", round((log(($"ct" + 1.0) / ($"nt" + B))
+        - log(($"cs" + 1.0) / ($"ns" + B))) * 1e9).cast("long").as("lr9"))
+      .agg(map_from_entries(sort_array(collect_list(struct($"b", $"lr9"))))
+        .as("m")) // bounded: ≤1024 entries by construction
+      .crossJoin(broadcast(totals))
+      .select(transform(sequence(lit(0L), lit(B - 1)),
+        i => coalesce(element_at($"m", i),
+          round((log(($"ns" + B).cast("double") / ($"nt" + B)) * 1e9))
+            .cast("long"))).as("arr"))
+    bg.crossJoin(broadcast(lrArr))
+      .select($"doc_id", $"lang",
+        size($"bgs").cast("long").as("n_bigrams"),
+        round(aggregate(transform($"bgs",
+            g => element_at($"arr", (hexPrefix64(md5(g)) % B).cast("int") + 1)),
+          lit(0L), (a, x) => a + x).cast("double") / 1e9, 6).as("logw"))
       .orderBy($"doc_id")
   }
 

@@ -546,6 +546,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(obs.exists(_("vectors").asInstanceOf[Long] == rows.length))
   }
 
+  test("dsir: importance weights separate the target language from the rest") {
+    val rows = Queries.qDsir(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    Queries.releaseCaches()
+    assert(rows.length == 500)
+    // the en slice IS the target distribution — its mean log-weight
+    // must dominate every other language's (the operator's whole point)
+    val byLang = rows.groupBy(_._1).view
+      .mapValues(xs => xs.map(_._3).sum / xs.length).toMap
+    for ((lang, mean) <- byLang if lang != "en")
+      assert(byLang("en") > mean + 1.0, s"en ${byLang("en")} vs $lang $mean")
+    // weight 0 exactly when a doc has no bigrams
+    rows.foreach { case (_, nb, w) => if (nb == 0) assert(w == 0.0) }
+  }
+
   test("optimizer-config equality: AQE off yields identical results on shuffle-heavy queries") {
     // different physical plans (no runtime re-plan, no broadcast
     // conversion) must not change VALUES — guards against
