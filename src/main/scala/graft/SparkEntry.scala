@@ -96,6 +96,7 @@ object SparkEntry {
     "q_nb_train" -> (Queries.qNbTrain(_, _)),
     "q_nb_classify" -> (Queries.qNbClassify(_, _)),
     "q_inverted_index" -> (Queries.qInvertedIndex(_, _)),
+    "q_bm25" -> (Queries.qBm25(_, _)),
     "q_token_count_regex" -> (Queries.qTokenCountRegex(_, _)),
     "q_lang_id" -> (Queries.qLangId(_, _)),
     "q_fingerprint" -> (Queries.qFingerprint(_, _)),

@@ -568,6 +568,38 @@ object Oracles {
        |FROM documents d LEFT JOIN sc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** BM25 (Lucene idf, k1 = 1.2, b = 0.75): same per-term fixed-point
+    * rounding before the per-doc sum, same exact-score + doc_id
+    * ranking order. avgdl is exact in both engines (integral doubles
+    * sum exactly below 2^53). Generated from the pinned query terms. */
+  val qBm25: String = {
+    val ts = Queries.Bm25QueryTerms
+    val tfCols = ts.indices.map(i =>
+      s"CAST(len(list_filter(ws, x -> x = '${ts(i)}')) AS DOUBLE) AS tf$i").mkString(",\n      |    ")
+    val dfCols = ts.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(",\n      |    ")
+    val scoreSum = ts.indices.map(i =>
+      // parenthesized to associate exactly like the Spark side:
+      // (idf * (tf*2.2/den)) * 1e9 — float products don't associate
+      s"CAST(round(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1e9) AS BIGINT)").mkString("\n      |    + ")
+    s"""WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents),
+      |t AS (
+      |  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+      |    $tfCols
+      |  FROM d),
+      |st AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+      |    $dfCols
+      |  FROM t),
+      |sc AS (
+      |  SELECT doc_id,
+      |    $scoreSum AS score_fp
+      |  FROM t, st)
+      |SELECT doc_id, round(CAST(score_fp AS DOUBLE) / 1e9, 6) AS score
+      |FROM sc ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** DSIR: same hashed-bigram buckets, Laplace-1 unigram models,
     * per-bucket ln rounded to 1e9 fixed point before the per-doc
     * BIGINT sum (order-independent); docs without bigrams survive the
@@ -1289,6 +1321,7 @@ object Oracles {
     "q_quality" -> qQuality,
     "q_quality_classifier" -> qQualityClassifier,
     "q_dsir" -> qDsir,
+    "q_bm25" -> qBm25,
     "q_nb_train" -> qNbTrain,
     "q_nb_classify" -> qNbClassify,
     "q_inverted_index" -> qInvertedIndex,

@@ -2015,6 +2015,51 @@ object Queries {
       .orderBy($"term")
   }
 
+  /** The demonstration retrieval query for [[qBm25]] — production
+    * parameterizes; pinned so the oracle can restate it. */
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "window")
+
+  /** BM25 ranked retrieval (Robertson et al.; the Lucene idf variant
+    * ln(1 + (N - df + 0.5)/(df + 0.5)), k1 = 1.2, b = 0.75) — the
+    * scoring half of the search-index product whose build half is
+    * [[qInvertedIndex]].
+    *
+    * Scale shape: for a BOUNDED query-term set nothing about the
+    * corpus needs to shuffle — per-term tf and dl are per-row lambda
+    * folds over the token array; N, avgdl and the per-term df collapse
+    * into ONE 1-row conditional aggregate that broadcasts back; the
+    * top-20 is a TakeOrderedAndProject. (The explode + join-on-term
+    * formulation would shuffle every token of the corpus to rank 3
+    * terms.) Per-term scores round to 1e9 fixed point before the
+    * per-doc BIGINT sum (the nats9 discipline), and the ranking order
+    * is the exact fixed-point score with doc_id tie-break — identical
+    * in both engines. */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k1 = 1.2; val bb = 0.75
+    val docs = docsDf(s, dir)
+      .select($"doc_id", filter(split($"text", " "), t => length(t) > 0).as("ws"))
+    def tf(t: String): Column = size(filter($"ws", w => w === t))
+    val withTf = docs.select(
+      ($"doc_id" +: size($"ws").cast("double").as("dl") +:
+        Bm25QueryTerms.zipWithIndex.map { case (t, i) => tf(t).cast("double").as(s"tf$i") }): _*)
+    val statCols = count(lit(1)).cast("double").as("n") +: avg($"dl").as("avgdl") +:
+      Bm25QueryTerms.indices.map(i =>
+        sum(($"tf$i" > 0).cast("long")).cast("double").as(s"df$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val termScore = (i: Int) => {
+      val idf = log(lit(1.0) + ($"n" - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      val norm = col(s"tf$i") * (k1 + 1.0) /
+        (col(s"tf$i") + lit(k1) * (lit(1.0 - bb) + lit(bb) * $"dl" / $"avgdl"))
+      round(idf * norm * 1e9).cast("long")
+    }
+    withTf.crossJoin(broadcast(stats))
+      .select($"doc_id",
+        Bm25QueryTerms.indices.map(termScore).reduce(_ + _).as("score_fp"))
+      .orderBy(desc("score_fp"), asc("doc_id")).limit(20)
+      .select($"doc_id", round($"score_fp".cast("double") / 1e9, 6).as("score"))
+  }
+
   /** MODEL-BASED quality filtering — the GPT-3/CCNet-style linear
     * classifier pass: bag-of-words with the hashing trick (1024
     * buckets via the shared md5-prefix hash), integer bucket weights,

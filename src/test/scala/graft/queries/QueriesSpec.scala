@@ -561,6 +561,26 @@ class QueriesSpec extends AnyFunSuite {
     rows.foreach { case (_, nb, w) => if (nb == 0) assert(w == 0.0) }
   }
 
+  test("bm25: top hits contain a query term, scores non-increasing; corpus never shuffles") {
+    val df = Queries.qBm25(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 20)
+    assert(rows.forall(_._2 > 0.0))
+    // ranking: emitted in score order (ties broken by doc_id upstream)
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.foreach { case (id, _) =>
+      assert(Queries.Bm25QueryTerms.exists(t => texts(id).split(" ").contains(t))) }
+    // plan shape: the only exchanges feed the 1-row stats aggregate and
+    // the final top-k — the scored corpus itself never repartitions
+    // (scoring is a per-row fold against the broadcast stats)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "stats must broadcast")
+  }
+
   test("optimizer-config equality: AQE off yields identical results on shuffle-heavy queries") {
     // different physical plans (no runtime re-plan, no broadcast
     // conversion) must not change VALUES — guards against
