@@ -100,6 +100,7 @@ object SparkEntry {
     "q_token_count_regex" -> (Queries.qTokenCountRegex(_, _)),
     "q_lang_id" -> (Queries.qLangId(_, _)),
     "q_fingerprint" -> (Queries.qFingerprint(_, _)),
+    "q_winnow" -> (Queries.qWinnow(_, _)),
     "q_gopher_quality" -> (Queries.qGopherQuality(_, _)),
     "q_pii_redact" -> (Queries.qPiiRedact(_, _)),
     "q_decontaminate" -> (Queries.qDecontaminate(_, _)),

@@ -568,6 +568,33 @@ object Oracles {
        |FROM documents d LEFT JOIN sc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Winnowing: same k=5 char grams and md5-prefix hashes; window
+    * minima via DIRECT 4-way least over indexed elements (independent
+    * of the Spark side's zip_with min-tree); bit_xor checksum is
+    * order-independent by construction. */
+  val qWinnow: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) >= 5 THEN
+      |      list_transform(range(1, length(text) - 3),
+      |        i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)), 1, 15)) AS BIGINT))
+      |    ELSE [] END AS gh
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, len(gh) AS n_grams,
+      |    CASE WHEN len(gh) >= 4 THEN
+      |      list_distinct(list_transform(range(1, len(gh) - 2),
+      |        i -> least(gh[CAST(i AS INTEGER)], gh[CAST(i AS INTEGER) + 1],
+      |                   gh[CAST(i AS INTEGER) + 2], gh[CAST(i AS INTEGER) + 3])))
+      |    ELSE [] END AS fps
+      |  FROM g),
+      |x AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |agg AS (SELECT doc_id, bit_xor(fp) AS fp_xor FROM x GROUP BY doc_id)
+      |SELECT f.doc_id, CAST(f.n_grams AS BIGINT) AS n_grams,
+      |  CAST(len(f.fps) AS BIGINT) AS n_fps,
+      |  CAST(COALESCE(agg.fp_xor, 0) AS BIGINT) AS fp_xor
+      |FROM f LEFT JOIN agg USING (doc_id) ORDER BY f.doc_id""".stripMargin
+
   /** BM25 (Lucene idf, k1 = 1.2, b = 0.75): same per-term fixed-point
     * rounding before the per-doc sum, same exact-score + doc_id
     * ranking order. avgdl is exact in both engines (integral doubles
@@ -1322,6 +1349,7 @@ object Oracles {
     "q_quality_classifier" -> qQualityClassifier,
     "q_dsir" -> qDsir,
     "q_bm25" -> qBm25,
+    "q_winnow" -> qWinnow,
     "q_nb_train" -> qNbTrain,
     "q_nb_classify" -> qNbClassify,
     "q_inverted_index" -> qInvertedIndex,

@@ -2015,6 +2015,55 @@ object Queries {
       .orderBy($"term")
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS scheme): hash every k-gram (k = 5 chars), then
+    * from each sliding window of w = 4 consecutive gram hashes select
+    * the minimum — the selected set is a position-robust fingerprint
+    * with guaranteed coverage (any match of length ≥ k + w - 1 shares
+    * a fingerprint). Output: per doc the k-gram count, the distinct
+    * fingerprint count, and the order-independent bit_xor checksum of
+    * the fingerprint set.
+    *
+    * Scale shape: pure per-row lambda pipeline over the scan — no
+    * shuffle at all (the final sort is the presentation ORDER BY).
+    * Window minima come from a zip_with(slice, slice) min-tree
+    * (min(w=4) = two least-layers), which references the gram-hash
+    * array only OUTSIDE lambda bodies — the qDsir lesson: an array
+    * expression referenced inside a lambda body is re-evaluated per
+    * element by projection collapse. The oracle computes the same
+    * windows by direct 4-way least over indexed elements — an
+    * independent formulation. */
+  def qWinnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.HexPrefix64.hexPrefix64
+    val k = 5; val w = 4
+    val ghExpr = transform(
+      when(length($"text") >= k, expr(
+        s"transform(sequence(1, length(text) - ${k - 1}), i -> substring(text, i, $k))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")), // sequence(1,0) would DESCEND
+      g => hexPrefix64(md5(g)))
+    def minLayer(c: Column, gap: Int): Column =
+      zip_with(slice(c, lit(1), size(c) - gap), slice(c, lit(1 + gap), size(c) - gap), least(_, _))
+    // let-binding via single-element transform: `gh`/`fps` become
+    // LAMBDA VARIABLES, evaluated once per row — a plain column alias
+    // would be inlined by projection collapse and the md5 gram pass
+    // re-evaluated at every reference (the min-tree has 16 of them:
+    // measured 2.3x on this query). inline(...) emits the struct
+    // through a Generate, so the three field projections downstream
+    // read attributes instead of re-running the expression.
+    val row = element_at(transform(array(ghExpr), gh =>
+      element_at(transform(array(
+        when(size(gh) >= w, array_distinct(minLayer(minLayer(gh, 1), 2)))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))), fps =>
+        struct(size(gh).cast("long").as("n_grams"),
+          size(fps).cast("long").as("n_fps"),
+          aggregate(fps, lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))),
+        1)), 1)
+    docsDf(s, dir)
+      .select($"doc_id", inline(array(row)))
+      .orderBy($"doc_id")
+  }
+
   /** The demonstration retrieval query for [[qBm25]] — production
     * parameterizes; pinned so the oracle can restate it. */
   val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "window")

@@ -581,6 +581,29 @@ class QueriesSpec extends AnyFunSuite {
       "stats must broadcast")
   }
 
+  test("winnow: edge cases (short texts) and structural invariants") {
+    import spark.implicits._
+    // synthetic table exercising every boundary: empty, < k, k ≤ len <
+    // k+w-1 (grams but no window), exactly one window, and a real text
+    val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
+    Seq((0L, "", "en", "src0", 0L), (1L, "abc", "en", "src0", 3L),
+      (2L, "abcdefg", "en", "src0", 7L), (3L, "abcdefgh", "en", "src0", 8L),
+      (4L, "the quick brown fox jumps over the dog", "en", "src0", 38L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Queries.qWinnow(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(0L) == ((0L, 0L, 0L)))
+    assert(rows(1L) == ((0L, 0L, 0L)))       // < k: no grams
+    assert(rows(2L)._1 == 3L && rows(2L)._2 == 0L) // grams but no window
+    assert(rows(3L)._1 == 4L && rows(3L)._2 == 1L) // exactly one window
+    assert(rows(4L)._1 == 34L && rows(4L)._2 >= 1L && rows(4L)._2 <= 31L)
+    // fixture-wide invariants: 0 < n_fps ≤ n_windows, xor nonzero
+    val fx = Queries.qWinnow(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fx.forall { case (ng, nf, x) => nf >= 1 && nf <= ng - 3 && x != 0L })
+  }
+
   test("optimizer-config equality: AQE off yields identical results on shuffle-heavy queries") {
     // different physical plans (no runtime re-plan, no broadcast
     // conversion) must not change VALUES — guards against
