@@ -26,6 +26,7 @@ object Bench {
     "q_sample_upsample", "q_sample_mixture",
     "q_chunk_fixed", "q_tfidf_top", "q_bpe_pairs", "q_sessionize",
     "q_inverted_index",
+    "q_semdedup", "q_bpe_encode", "q_dsir", "q_bm25", "q_winnow",
     "q_tpch_pricing", "q_tpch_top_customers", "q_tpch_promo",
     "q_parts_cold", "q_suppliers_hot", "q_events_window", "q_events_asof")
 

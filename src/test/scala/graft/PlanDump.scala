@@ -120,6 +120,16 @@ object PlanDump extends App {
     "Inverted index: distinct (term, doc) pairs -> ONE ObjectHashAggregate partial+final pair where the postings head is the custom bounded TopKMinLongs aggregate (fixed k-slot heap state, map-side combinable) — the hot-term case costs 20 longs per task; collect_list would buffer the full postings and a rank window would buffer whole partitions.")
   dump("q_sample_stratified", graft.queries.Queries.qSampleStratified(spark, sf),
     "Deterministic stratified hash sampling: u(doc_id) < rate(source) decided per row with no shuffle and no state — the only Exchange is the presentation sort. Reproducible across runs and partitionings; upsizing a stratum's rate keeps all previously-sampled rows.")
+  dump("q_semdedup", graft.queries.Queries.qSemdedup(spark, sf),
+    "SemDeDup: IVF coarse-quantizer cells (fixed-point Lloyd, 16-row centroid broadcast) -> ONE repartition by cell, persisted and reused by BOTH pairwise sides -> within-cell lower-id pairwise cosine (quadratic in CLUSTER size — the published algorithm; k scales with the corpus) -> narrow per-vector max collapse; cell balance surfaced via observe(semdedup_cells).")
+  dump("q_bpe_encode", graft.queries.Queries.qBpeEncode(spark, sf),
+    "BPE application: ONE corpus shuffle (word counts), then the tokenizer runs once per DISTINCT word in a vocab-bounded typed flatMap, and token counts aggregate partial+final with the word count as weight — encode cost is O(|vocab|), invariant to corpus growth; top-200 is a TakeOrderedAndProject.")
+  dump("q_dsir", graft.queries.Queries.qDsir(spark, sf),
+    "DSIR importance weights: hashed-bigram counts (1024 groups, one tiny agg with in-plan totals) fold into a broadcast DENSE log-ratio array; scoring is a per-row lambda fold against that array — the corpus never shuffles to be scored. Bigrams via zip_with(slice, slice): a lambda-body reference to the word split would re-evaluate it per element.")
+  dump("q_bm25", graft.queries.Queries.qBm25(spark, sf),
+    "BM25 retrieval: per-term tf and dl are per-row lambda folds; N/avgdl/df collapse into ONE 1-row conditional aggregate broadcast back (BroadcastNestedLoopJoin); top-20 is a TakeOrderedAndProject — zero corpus shuffle for a bounded query-term set.")
+  dump("q_winnow", graft.queries.Queries.qWinnow(spark, sf),
+    "Winnowing fingerprints: pure per-row pipeline (gram hash -> zip_with min-tree -> distinct -> xor checksum) with the gram-hash array LET-BOUND via single-element transform (a lambda variable evaluates once; inlined references re-evaluate per use — measured 109s vs 3.6s at sf0.1) and the result struct emitted through inline(); the only Exchange is the presentation sort.")
   Files.writeString(Paths.get("/root/repo/PLANS.md"),
     "# PLANS — physical plans of the headline jobs (sf0.001, local[8], AQE on)\n\n" +
     "Generated by `Test/runMain PlanDump`. Annotations state the intended\nplan shape; QueriesSpec asserts the critical properties (pruned\nReadSchema, PushedFilters, broadcast join, codegen residency).\n\n" + sb.result())
