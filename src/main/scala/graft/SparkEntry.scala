@@ -104,6 +104,8 @@ object SparkEntry {
     "q_gopher_quality" -> (Queries.qGopherQuality(_, _)),
     "q_pii_redact" -> (Queries.qPiiRedact(_, _)),
     "q_decontaminate" -> (Queries.qDecontaminate(_, _)),
+    "q_pmi_bigrams" -> (Queries.qPmiBigrams(_, _)),
+    "q_sample_weighted" -> (Queries.qSampleWeighted(_, _)),
     "q_sample_stratified" -> (Queries.qSampleStratified(_, _)),
     "q_sample_upsample" -> (Queries.qSampleUpsample(_, _)),
     "q_sample_mixture" -> (Queries.qSampleMixture(_, _)),

@@ -1307,7 +1307,47 @@ object Oracles {
        |   OR (f.g % 3 = 2)
        |ORDER BY rank DESC, url""".stripMargin
 
+  /** PMI collocations: same token split, adjacent pairs via 1-based
+    * positional unnest, identical integer counts and the single-ln
+    * formula (numerator promoted to DOUBLE first, denominator a pure
+    * BIGINT product) rounded to 6 decimals. */
+  val qPmiBigrams: String =
+    """WITH w AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |uni AS (
+      |  SELECT u AS wd, CAST(count(*) AS BIGINT) AS c
+      |  FROM w, LATERAL (SELECT unnest(ws) AS u) x GROUP BY 1),
+      |bi AS (
+      |  SELECT ws[CAST(i AS INTEGER)] AS a, ws[CAST(i AS INTEGER) + 1] AS b,
+      |         CAST(count(*) AS BIGINT) AS c_ab
+      |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) x
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_w,
+      |         (SELECT CAST(sum(c_ab) AS BIGINT) FROM bi) AS n_bi)
+      |SELECT a, b, c_ab,
+      |       round(ln(CAST(c_ab AS DOUBLE) * n_w * n_w
+      |                / (n_bi * ca.c * cb.c)), 6) AS pmi
+      |FROM bi, tot
+      |JOIN uni ca ON ca.wd = a
+      |JOIN uni cb ON cb.wd = b
+      |WHERE c_ab >= 5
+      |ORDER BY pmi DESC, a, b""".stripMargin
+
+  /** Efraimidis–Spirakis A-ES: identical u (md5 60-bit of doc_id),
+    * key = -ln(u)/n_chars rounded to 9 decimals, 100 smallest with
+    * doc_id tie-break. */
+  val qSampleWeighted: String =
+    """SELECT doc_id, n_chars,
+      |  round(-ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |            / POW(2, 60)) / n_chars, 9) AS es_key
+      |FROM documents
+      |ORDER BY es_key, doc_id LIMIT 100""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q_pmi_bigrams" -> qPmiBigrams,
+    "q_sample_weighted" -> qSampleWeighted,
     "q_html_extract" -> qHtmlExtract,
     "q_pdf_extract" -> qPdfExtract,
     "q_warc_extract" -> qWarcExtract,

@@ -2447,4 +2447,76 @@ object Queries {
         explode(sequence(lit(0), $"copies" - 1)).as("copy"))
       .orderBy($"doc_id", $"copy")
   }
+
+  /** PMI collocation mining (Church & Hanks 1990; the phrase-detection
+    * pass of word2vec-style pipelines): for every adjacent word pair,
+    * pmi = ln(p(ab) / (p(a) p(b))) with p(ab) = c_ab / N_bi and
+    * p(a) = c_a / N_w; pairs seen >= 5 times, ranked by PMI.
+    *
+    * Scale shape: bigrams via the zip_with(slice, slice) idiom (the
+    * qDsir lesson — never reference the split inside a lambda body);
+    * ONE bigram explode feeds a (a, b)-keyed partial+final hash agg
+    * and ONE word explode a vocab-sized unigram agg — only
+    * vocabulary-sized tables ever shuffle. Totals stay IN-PLAN as
+    * 1-row broadcast cross joins (the lazy-builder invariant), the
+    * two unigram joins carry NO hint (vocab scales — AQE decides).
+    * The ln runs once per surviving pair over pure integer counts and
+    * rounds to 6 decimals (the battery's ln discipline) — no float
+    * aggregation anywhere. */
+  def qPmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = filter(split($"text", " "), t => length(t) > 0)
+    val bigramsOf = (w: Column) => when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("a"), b.as("b"))))
+      .otherwise(expr("CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)"))
+    val docs = docsDf(s, dir)
+    val uni = registerCache(docs
+      .select(explode(ws).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bi = registerCache(docs
+      .select(explode(bigramsOf(ws)).as("g"))
+      .groupBy($"g.a".as("a"), $"g.b".as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nw = uni.agg(sum($"c").as("n_w"))
+    val nb = bi.agg(sum($"c_ab").as("n_bi"))
+    bi.where($"c_ab" >= 5)
+      .join(uni.select($"w".as("a"), $"c".as("c_a")), "a")
+      .join(uni.select($"w".as("b"), $"c".as("c_b")), "b")
+      .crossJoin(broadcast(nw))
+      .crossJoin(broadcast(nb))
+      .select($"a", $"b", $"c_ab",
+        round(log($"c_ab".cast("double") * $"n_w" * $"n_w" /
+          ($"n_bi" * $"c_a" * $"c_b")), 6).as("pmi"))
+      .orderBy(desc("pmi"), $"a", $"b")
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    * 2006, algorithm A-ES): each row gets key = -ln(u) / w for a
+    * uniform u and weight w (here n_chars — longer documents more
+    * likely); the k smallest keys ARE a weighted sample without
+    * replacement. Deterministic: u is the battery's md5 60-bit hash
+    * of doc_id, so the sample is reproducible across runs, partitions
+    * and engines.
+    *
+    * Scale shape: the key is a pure per-row projection over the scan
+    * (doc_id + n_chars only — pruned ReadSchema) and the selection is
+    * a TakeOrderedAndProject: each task keeps a k-slot heap, the
+    * driver merges 32 heaps — no global sort, no shuffle of the
+    * corpus, O(k) memory anywhere. This is the one-pass distributed
+    * weighted-reservoir shape (ES's own motivation). Keys round to
+    * 9 decimals before ordering (values are ~1e-5..1; 1e-9 absolute
+    * absorbs libm-vs-JVM ln ulps) with doc_id tie-break, so both
+    * engines select the identical sample. */
+  def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.HexPrefix64.hexPrefix64
+    docsDf(s, dir)
+      .select($"doc_id", $"n_chars",
+        round(-log(hexPrefix64(md5($"doc_id".cast("string"))) /
+          lit(math.pow(2, 60))) / $"n_chars", 9).as("es_key"))
+      .orderBy($"es_key", $"doc_id").limit(100)
+  }
 }

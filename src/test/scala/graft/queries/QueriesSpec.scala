@@ -936,4 +936,50 @@ class QueriesSpec extends AnyFunSuite {
       (0L, 2L, 2L, s"$A\n$B"),
       (1L, 2L, 1L, C)))
   }
+
+  test("pmi bigrams: collocated pair scores above independent pair; value matches local recompute") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
+    // "x y" always adjacent (perfect collocation); "a b" co-occur at chance
+    val doc = ("x y " * 5) + ("a b " * 3) + ("b a " * 3)
+    Seq.tabulate(5)(i => (i.toLong, doc.trim))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.qPmiBigrams(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // counts per doc: 22 tokens -> 21 bigrams; x:5 y:5 a:6 b:6 per doc
+    val nW = 22.0 * 5; val nBi = 21.0 * 5
+    val xy = got(("x", "y"))
+    assert(xy._1 == 25L)
+    assert(math.abs(xy._2 -
+      BigDecimal(math.log(25.0 * nW * nW / (nBi * 25 * 25)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // perfect collocation ranks above chance co-occurrence
+    assert(xy._2 > got(("a", "b"))._2)
+    // a/b counts: "a b a b a b b a b a b a" -> a->b 5, b->a 5 per doc
+    assert(got(("a", "b"))._1 == 25L && got(("b", "a"))._1 == 25L)
+  }
+
+  test("weighted sampling: ES selection matches local recompute; TakeOrdered, no global sort") {
+    val df = Queries.qSampleWeighted(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def u(docId: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) / math.pow(2, 60)
+    }
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = all.map { case (id, n) =>
+      (id, n, BigDecimal(-math.log(u(id)) / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(t => (t._3, t._1)).take(100)
+    assert(got.toSeq == expected.toSeq)
+    // selection is a TakeOrderedAndProject (k-slot heaps, no global sort)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
