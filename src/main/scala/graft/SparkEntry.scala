@@ -105,6 +105,7 @@ object SparkEntry {
     "q_pii_redact" -> (Queries.qPiiRedact(_, _)),
     "q_decontaminate" -> (Queries.qDecontaminate(_, _)),
     "q_pmi_bigrams" -> (Queries.qPmiBigrams(_, _)),
+    "q_setsim_join" -> (Queries.qSetsimJoin(_, _)),
     "q_sample_weighted" -> (Queries.qSampleWeighted(_, _)),
     "q_sample_stratified" -> (Queries.qSampleStratified(_, _)),
     "q_sample_upsample" -> (Queries.qSampleUpsample(_, _)),

@@ -1335,6 +1335,32 @@ object Oracles {
       |WHERE c_ab >= 5
       |ORDER BY pmi DESC, a, b""".stripMargin
 
+  /** Exact set-similarity join, INDEPENDENT formulation: no prefix
+    * filter — the exploded self-join on shingle hash counts the full
+    * intersection per pair directly, then applies the same integer
+    * cross-multiplied threshold. Any pair the Spark side's prefix
+    * filter wrongly pruned would appear here (completeness is what
+    * this oracle tests). */
+  val qSetsimJoin: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 6),
+      |    i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15)) AS BIGINT))) AS sh
+      |  FROM documents WHERE length(text) >= 8),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+      |e AS (SELECT doc_id, unnest(sh) AS h FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, CAST(count(*) AS BIGINT) AS inter
+      |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_i, doc_j, inter,
+      |       CAST(si.n + sj.n - inter AS BIGINT) AS uni,
+      |       round(CAST(inter AS DOUBLE) / (si.n + sj.n - inter), 6) AS jac
+      |FROM p
+      |JOIN sz si ON si.doc_id = p.doc_i
+      |JOIN sz sj ON sj.doc_id = p.doc_j
+      |WHERE 19 * inter >= 9 * (si.n + sj.n)
+      |ORDER BY doc_i, doc_j""".stripMargin
+
   /** Efraimidis–Spirakis A-ES: identical u (md5 60-bit of doc_id),
     * key = -ln(u)/n_chars rounded to 9 decimals, 100 smallest with
     * doc_id tie-break. */
@@ -1347,6 +1373,7 @@ object Oracles {
 
   val all: Map[String, String] = Map(
     "q_pmi_bigrams" -> qPmiBigrams,
+    "q_setsim_join" -> qSetsimJoin,
     "q_sample_weighted" -> qSampleWeighted,
     "q_html_extract" -> qHtmlExtract,
     "q_pdf_extract" -> qPdfExtract,

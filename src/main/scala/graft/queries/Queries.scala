@@ -2493,6 +2493,68 @@ object Queries {
       .orderBy(desc("pmi"), $"a", $"b")
   }
 
+  /** EXACT all-pairs set-similarity join via prefix filtering
+    * (Chaudhuri et al. 2006 / Bayardo et al. 2007 "AllPairs"): every
+    * document pair whose 8-char-shingle sets have Jaccard >= 0.9 —
+    * with NO false negatives, unlike the battery's approximate
+    * near-dup family (MinHash bands, SimHash bands, the df-cut
+    * Jaccard): this is the exact operator those approximate.
+    *
+    * The completeness lemma: order every set by one GLOBAL token
+    * order; if |A∩B| >= α then the SMALLEST shared token (it is
+    * followed by >= α-1 shared tokens in both sets) sits within the
+    * first n-α+1 tokens of each — so joining only the (n - ceil(t n)
+    * + 1)-prefixes misses nothing with jac >= t (jac >= t implies
+    * overlap >= ceil(t·max(na, nb))).
+    *
+    * Scale shape: the global order is df ASCENDING (rarest first) so
+    * prefix tokens are the rarest — candidate volume is bounded by
+    * rare-token document frequency, not corpus²; the 10%-prefix
+    * self-join at t = 0.9 joins ~n/10 tokens per doc instead of n.
+    * The pair-size filter 10·min >= 9·max prunes inside the join
+    * condition, verification is an exact array_intersect on the
+    * candidate pairs only, and the threshold test is the integer
+    * cross-multiplication 19·inter >= 9·(na+nb) — no float decides
+    * membership. The sorted-set table persists once and feeds the
+    * prefix explode AND both verify sides. Shingles ride the 60-bit
+    * md5-prefix hash (the MinHash discipline: 8-byte shuffle keys,
+    * collision 2^-60 merges two shingles and moves inter by at most
+    * 1 — identical on both engines, which hash the same way). */
+  def qSetsimJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.HexPrefix64.hexPrefix64
+    val ex = docsDf(s, dir)
+      .where(length($"text") >= 8)
+      .select($"doc_id", explode(array_distinct(
+        transform(graft.functions.CharNgrams.charNgrams($"text", 8, 8),
+          g => hexPrefix64(md5(g))))).as("h"))
+    val dfCounts = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+    val ordered = registerCache(ex.join(dfCounts, "h")
+      .groupBy($"doc_id")
+      .agg(transform(array_sort(collect_list(struct($"df", $"h"))),
+        x => x.getField("h")).as("toks"))
+      .withColumn("n", size($"toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pref = ordered.select($"doc_id", $"n",
+      explode(slice($"toks", lit(1), expr("n - (9*n + 9) div 10 + 1"))).as("h"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") * 10 >= col("b.n") * 9 && col("b.n") * 10 >= col("a.n") * 9)
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+    cand
+      .join(ordered.select($"doc_id".as("doc_i"), $"toks".as("ta"),
+        $"n".cast("long").as("na")), "doc_i")
+      .join(ordered.select($"doc_id".as("doc_j"), $"toks".as("tb"),
+        $"n".cast("long").as("nb")), "doc_j")
+      .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("long"))
+      .where(lit(19L) * $"inter" >= lit(9L) * ($"na" + $"nb"))
+      .select($"doc_i", $"doc_j", $"inter",
+        ($"na" + $"nb" - $"inter").as("uni"),
+        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6).as("jac"))
+      .orderBy($"doc_i", $"doc_j")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
     * 2006, algorithm A-ES): each row gets key = -ln(u) / w for a
     * uniform u and weight w (here n_chars — longer documents more

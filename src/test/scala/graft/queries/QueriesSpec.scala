@@ -961,6 +961,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(got(("a", "b"))._1 == 25L && got(("b", "a"))._1 == 25L)
   }
 
+  test("setsim join: prefix filter is complete — matches local brute force over ALL pairs") {
+    // brute force with the shared shingle/hash twins (MinHashDefs) over
+    // every pair at sf0.001: any pair the prefix filter dropped would
+    // be missing here
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 8)
+    val sets = texts.map { case (id, t) =>
+      (id, MinHashDefs.shingles8(t).map(MinHashDefs.hash60).toSet)
+    }
+    val expected = (for {
+      (i, a) <- sets; (j, b) <- sets if i < j
+      inter = (a & b).size
+      if 19L * inter >= 9L * (a.size + b.size)
+    } yield (i, j, inter.toLong, (a.size + b.size - inter).toLong)).sorted
+    val got = Queries.qSetsimJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == expected.toSeq)
+    Queries.releaseCaches()
+  }
+
   test("weighted sampling: ES selection matches local recompute; TakeOrdered, no global sort") {
     val df = Queries.qSampleWeighted(spark, sf)
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
