@@ -67,6 +67,7 @@ object SparkEntry {
     // crawl fetch-list dedup by canonical URL; link-graph construction
     "q_url_dedup" -> (Queries.qUrlDedup(_, _)),
     "q_link_graph" -> (Queries.qLinkGraph(_, _)),
+    "q_anchor_text" -> (Queries.qAnchorText(_, _)),
     "q_pagerank" -> (Queries.qPagerank(_, _)),
     "q_crawl_frontier" -> (Queries.qCrawlFrontier(_, _)),
     "q_robots_filter" -> (Queries.qRobotsFilter(_, _)),

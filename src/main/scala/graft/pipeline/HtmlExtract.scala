@@ -265,6 +265,120 @@ object HtmlExtract {
     out.toSeq
   }
 
+  /** All `<a href>` anchors with their DECODED inner text, in document
+    * order — the anchor-text half of crawl-graph enrichment (the href
+    * half is [[links]]; search indexes famously rank targets by the
+    * text of the links pointing AT them). Tag handling mirrors
+    * [[links]]: comments/doctypes/PIs skipped, raw-text subtrees
+    * (script/style/…) opaque — a decoy anchor inside JavaScript
+    * contributes nothing — and `&amp;` in the href is decoded. Inner
+    * text: every tag between the open and close acts as a whitespace
+    * separator (so `a<br>b` → "a b" and `Read <b>more</b>` → "Read
+    * more"), character references decode with [[extract]]'s
+    * semantics, whitespace collapses to single spaces and is trimmed.
+    * An `<a>` without a non-empty href collects nothing; a new `<a`
+    * implies closing the previous one (HTML5 forbids nesting). */
+  def anchors(html: String): Seq[(String, String)] = {
+    val n = html.length
+    val out = ArrayBuffer.empty[(String, String)]
+    var href: String = null
+    val sb = new StringBuilder
+    var lastWs = true
+    def append(c: Char): Unit =
+      if (href != null) {
+        if (Character.isWhitespace(c)) { if (!lastWs) { sb.append(' '); lastWs = true } }
+        else { sb.append(c); lastWs = false }
+      }
+    def appendStr(s: String): Unit = {
+      var j = 0
+      while (j < s.length) { append(s.charAt(j)); j += 1 }
+    }
+    def emit(): Unit = {
+      if (href != null) out += ((href, sb.toString.trim))
+      href = null; sb.setLength(0); lastWs = true
+    }
+    // character-reference decode, [[extract]]'s entity semantics
+    def entity(start: Int): Int = {
+      var j = start + 1
+      if (j < n && html.charAt(j) == '#') {
+        j += 1
+        var hex = false
+        if (j < n && (html.charAt(j) == 'x' || html.charAt(j) == 'X')) { hex = true; j += 1 }
+        val ds = j
+        while (j < n && Character.digit(html.charAt(j), if (hex) 16 else 10) >= 0) j += 1
+        if (j > ds && j < n && html.charAt(j) == ';') {
+          try {
+            val cp = java.lang.Integer.parseInt(html.substring(ds, j), if (hex) 16 else 10)
+            if (Character.isValidCodePoint(cp) && cp != 0)
+              appendStr(new String(Character.toChars(cp)))
+            else append('�')
+            return j + 1
+          } catch { case _: NumberFormatException => () }
+        }
+      } else {
+        val ds = j
+        while (j < n && j - ds < 10 && Character.isLetterOrDigit(html.charAt(j))) j += 1
+        if (j > ds && j < n && html.charAt(j) == ';') {
+          namedEntities.get(html.substring(ds, j)) match {
+            case Some(rep) => appendStr(rep); return j + 1
+            case None      => ()
+          }
+        }
+      }
+      append('&')
+      start + 1
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        var j = i + 1
+        if (j < n && html.charAt(j) == '!') {
+          if (html.startsWith("<!--", i)) {
+            val e = html.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
+          } else { val e = html.indexOf('>', j); i = if (e < 0) n else e + 1 }
+        } else if (j < n && html.charAt(j) == '?') {
+          val e = html.indexOf('>', j); i = if (e < 0) n else e + 1
+        } else {
+          val closing = j < n && html.charAt(j) == '/'
+          if (closing) j += 1
+          val ns = j
+          while (j < n && (Character.isLetterOrDigit(html.charAt(j)) || html.charAt(j) == '-')) j += 1
+          if (j == ns) { append(c); i += 1 } // stray '<' is literal text
+          else {
+            val name = html.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
+            val attrStart = j
+            var quote = 0.toChar
+            while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+              val ch = html.charAt(j)
+              if (quote != 0) { if (ch == quote) quote = 0 }
+              else if (ch == '"' || ch == '\'') quote = ch
+              j += 1
+            }
+            val attrEnd = j
+            val end = if (j < n) j + 1 else n
+            if (!closing && name == "a") {
+              emit() // implied close of any open anchor
+              href = attrValue(html, attrStart, attrEnd, "href")
+                .map(_.replace("&amp;", "&")).filter(_.nonEmpty).orNull
+            } else if (closing && name == "a") emit()
+            else append(' ') // any other tag separates words
+            if (!closing && rawTextTags.contains(name) &&
+                !(attrEnd > attrStart && html.charAt(attrEnd - 1) == '/')) {
+              val close = "</" + name
+              var e = indexOfIgnoreCase(html, close, end)
+              if (e < 0) i = n
+              else { e = html.indexOf('>', e); i = if (e < 0) n else e + 1 }
+            } else i = end
+          }
+        }
+      } else if (c == '&') i = entity(i)
+      else { append(c); i += 1 }
+    }
+    emit()
+    out.toSeq
+  }
+
   /** Value of attribute `attr` inside the tag body [from, until). */
   private def attrValue(s: String, from: Int, until: Int, attr: String): Option[String] = {
     var i = from

@@ -1204,6 +1204,39 @@ object Oracles {
       |SELECT src_host, dst_url, CAST(count(*) AS BIGINT) AS n
       |FROM e GROUP BY src_host, dst_url ORDER BY src_host, dst_url""".stripMargin
 
+  /** Anchor-text aggregation: both canonical edges AND the decoded
+    * anchor texts stated directly from doc_id (nested-tag separation,
+    * entity decode, whitespace collapse all pre-applied — the oracle
+    * gates the parser); dominant anchor via a count-desc/text-asc
+    * window, the independent formulation of min(struct(-cnt, anchor)). */
+  val qAnchorText: String =
+    """WITH e AS (
+      |  SELECT 'https://www.example.net/?page=' || CAST(doc_id % 4 AS VARCHAR)
+      |           || '&sort=asc' AS dst_url,
+      |         'All & more' AS anchor
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://' || CASE ((doc_id * 7 + 13) % 97) % 3
+      |           WHEN 0 THEN 'news.example.org'
+      |           WHEN 1 THEN 'blog.example.org' ELSE 'www.example.net' END
+      |         || '/articles/' || CAST((doc_id * 7 + 13) % 97 AS VARCHAR),
+      |         CASE doc_id % 6 WHEN 0 THEN 'read more' WHEN 1 THEN 'Read more'
+      |           WHEN 2 THEN 'the füll story' WHEN 3 THEN 'click here'
+      |           WHEN 4 THEN 'spaced out' ELSE 'Related' END
+      |  FROM documents),
+      |pa AS (
+      |  SELECT dst_url, anchor, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT dst_url, anchor, cnt,
+      |         row_number() OVER (PARTITION BY dst_url
+      |                            ORDER BY cnt DESC, anchor) AS rn
+      |  FROM pa)
+      |SELECT dst_url, CAST(sum(cnt) AS BIGINT) AS n_links,
+      |       CAST(count(*) AS BIGINT) AS n_texts,
+      |       max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor
+      |FROM r GROUP BY dst_url ORDER BY dst_url""".stripMargin
+
   /** The repaired text IS the original: repair∘corrupt must be the
     * identity, so the oracle simply restates text + suffix. */
   val qFixMojibake: String =
@@ -1380,6 +1413,7 @@ object Oracles {
     "q_warc_extract" -> qWarcExtract,
     "q_url_dedup" -> qUrlDedup,
     "q_link_graph" -> qLinkGraph,
+    "q_anchor_text" -> qAnchorText,
     "q_pagerank" -> qPagerank,
     "q_crawl_frontier" -> qCrawlFrontier,
     "q_robots_filter" -> qRobotsFilter,

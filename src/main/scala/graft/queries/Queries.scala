@@ -1235,6 +1235,56 @@ object Queries {
       .orderBy($"src_host", $"dst_url")
   }
 
+  /** ANCHOR-TEXT aggregation onto link TARGETS — the search-index
+    * enrichment pass ([[graft.pipeline.HtmlExtract.anchors]] composed
+    * with [[graft.ops.UrlOps.canonicalize]]): targets are described by
+    * the text of the links pointing AT them (the classic web-search
+    * signal), so for every canonical destination we fold inlink count,
+    * distinct anchor-text count, and the dominant anchor text. Each
+    * doc renders a page whose article anchor carries one of six text
+    * variants exercising nested inline tags, named and numeric
+    * character references, whitespace collapse, an href-less `<a>`,
+    * and the script decoy; the oracle states the expected decoded
+    * texts directly from doc_id — gating the anchor parser itself.
+    *
+    * Scale shape: per-row synthesize+parse flatMap, then ONE
+    * (dst, anchor) hash aggregate and ONE dst-keyed fold where the
+    * dominant anchor is min(struct(-cnt, anchor)) — per-group state is
+    * a single struct, never a list (the real anchor table is
+    * Zipf-skewed by target: collect-and-rank would buffer a hot
+    * target's full anchor set; both aggregates combine map-side). */
+  def qAnchorText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = docsDf(s, dir).select($"doc_id").as[Long]
+      .flatMap { id =>
+        val g2 = (id * 7 + 13) % 97
+        val anchorHtml = (id % 6) match {
+          case 0 => "read more"
+          case 1 => "Read <b>more</b>"
+          case 2 => "the f&uuml;ll story"
+          case 3 => "click here"
+          case 4 => "\n  spaced \t  out "
+          case _ => "&#82;elated"
+        }
+        val html =
+          "<html><head><script>var fake = '<a href=\"https://evil.example/x\">decoy</a>';" +
+          "</script></head><body>" +
+          s"""<nav><a href="https://www.example.net/index/../?sort=asc&amp;page=${id % 4}&utm_campaign=nav">All &amp; more</a></nav>""" +
+          s"""<article><p><a href='${messyArticleUrl(id % 5, g2)}'>$anchorHtml</a> <a name="x">no href</a></p></article>""" +
+          "</body></html>"
+        graft.pipeline.HtmlExtract.anchors(html)
+          .map { case (h, t) => (graft.ops.UrlOps.canonicalize(h), t) }
+      }
+      .toDF("dst_url", "anchor")
+    edges.groupBy($"dst_url", $"anchor").agg(count(lit(1)).as("cnt"))
+      .groupBy($"dst_url")
+      .agg(sum($"cnt").as("n_links"),
+        count(lit(1)).as("n_texts"),
+        min(struct((-$"cnt").as("nc"), $"anchor".as("anchor")))
+          .getField("anchor").as("top_anchor"))
+      .orderBy($"dst_url")
+  }
+
   /** Mojibake-synthesis suffixes: non-ASCII payloads whose UTF-8 byte
     * images avoid cp1252's five undefined positions (0x81 0x8D 0x8F
     * 0x90 0x9D) so the cp1252 corruption round trip is well-defined;

@@ -129,6 +129,29 @@ class HtmlExtractSpec extends AnyFunSuite {
       Seq("https://h.example/a", "https://h.example/b"))
   }
 
+  test("anchors: inner text decoded, nested tags separate, decoys skipped") {
+    val html = "<head><script>var s = '<a href=\"https://evil.example/\">decoy</a>';</script></head>" +
+      "<body><a href=\"https://a.example/1\">Read <b>more</b></a>" +
+      "<a href='https://a.example/2'>the f&uuml;ll &#82;est &amp; co</a>" +
+      "<a href='https://a.example/3'>\n  spaced \t  out </a>" +
+      "<a name=\"x\">no href collects nothing</a>" +
+      "<a href='https://a.example/4'>implied close" + // new <a implies </a>
+      "<a href='https://a.example/5'>unterminated at EOF"
+    assert(HtmlExtract.anchors(html) === Seq(
+      ("https://a.example/1", "Read more"),
+      ("https://a.example/2", "the füll Rest & co"),
+      ("https://a.example/3", "spaced out"),
+      ("https://a.example/4", "implied close"),
+      ("https://a.example/5", "unterminated at EOF")))
+  }
+
+  test("anchors: line breaks via tags collapse; href entity decode matches links()") {
+    val html = "<a href=\"https://h.example/?a=1&amp;b=2\">one<br>two</a>"
+    assert(HtmlExtract.anchors(html) ===
+      Seq(("https://h.example/?a=1&b=2", "one two")))
+    assert(HtmlExtract.links(html) === HtmlExtract.anchors(html).map(_._1))
+  }
+
   test("extraction composes with the cross-doc boilerplate strip") {
     import spark.implicits._
     val page = (id: Int) =>
