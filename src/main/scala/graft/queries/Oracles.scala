@@ -108,8 +108,8 @@ object Oracles {
   /** Per-doc char-LM cross-entropy/perplexity under the same add-one
     * model as qLmNgrams' counts; per-char costs fixed-point rounded
     * (1e-9 nats) so the per-doc sum is aggregation-order-independent. */
-  val qLmPerplexity: String =
-    """WITH keys AS (
+  private val lmCostCtes: String =
+    """keys AS (
       |  SELECT doc_id, substr(text, greatest(1, CAST(i AS INTEGER) - 3),
       |                        CAST(i AS INTEGER) - greatest(1, CAST(i AS INTEGER) - 3) + 1) AS key
       |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
@@ -120,11 +120,43 @@ object Oracles {
       |  SELECT doc_id, CAST(round(-ln((kc + 1.0) / (cc + v)) * 1e9) AS BIGINT) AS nats9
       |  FROM keys JOIN counts USING (key)
       |  JOIN ctxc ON substr(key, 1, length(key) - 1) = ctxc.ctx, vv
-      |)
-      |SELECT doc_id, count(*) AS n_chars,
-      |  round(CAST(sum(nats9) AS DOUBLE) / 1e9, 6) AS nats,
-      |  round(exp((CAST(sum(nats9) AS DOUBLE) / 1e9) / count(*)), 6) AS ppl
-      |FROM cost GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |)""".stripMargin
+
+  val qLmPerplexity: String =
+    s"""WITH $lmCostCtes
+       |SELECT doc_id, count(*) AS n_chars,
+       |  round(CAST(sum(nats9) AS DOUBLE) / 1e9, 6) AS nats,
+       |  round(exp((CAST(sum(nats9) AS DOUBLE) / 1e9) / count(*)), 6) AS ppl
+       |FROM cost GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** CCNet tertile buckets: same per-doc ppl CTEs, tertile cuts from
+    * the 500 smallest-u(doc_id) sample via the exact cumulative-window
+    * percentile discipline, buckets by rounded-ppl comparison. */
+  val qPplBuckets: String =
+    s"""WITH $lmCostCtes,
+       |ppl AS (
+       |  SELECT doc_id,
+       |    round(exp((CAST(sum(nats9) AS DOUBLE) / 1e9) / count(*)), 6) AS ppl
+       |  FROM cost GROUP BY doc_id),
+       |samp AS (
+       |  SELECT ppl FROM ppl
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+       |           doc_id
+       |  LIMIT 500),
+       |h AS (SELECT ppl, count(*) AS c FROM samp GROUP BY ppl),
+       |cum AS (
+       |  SELECT ppl,
+       |    sum(c) OVER (ORDER BY ppl ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER () AS total
+       |  FROM h),
+       |cuts AS (
+       |  SELECT min(CASE WHEN cum >= ceil(total / 3.0) THEN ppl END) AS p33,
+       |         min(CASE WHEN cum >= ceil(total * 2.0 / 3.0) THEN ppl END) AS p67
+       |  FROM cum)
+       |SELECT doc_id, ppl,
+       |  CASE WHEN ppl <= p33 THEN 'head'
+       |       WHEN ppl <= p67 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM ppl, cuts ORDER BY doc_id""".stripMargin
 
   /** Exact percentiles from the compacted (source, n_tokens) histogram
     * + cumulative window — the same definition as the Spark side (NOT
@@ -1426,6 +1458,7 @@ object Oracles {
     "q_lexicon_weights" -> qLexiconWeights,
     "q_lm_ngrams" -> qLmNgrams,
     "q_lm_perplexity" -> qLmPerplexity,
+    "q_ppl_buckets" -> qPplBuckets,
     "q_len_percentiles" -> qLenPercentiles,
     "q_substring_dup" -> qSubstringDup,
     "q_substring_rewrite" -> qSubstringRewrite,

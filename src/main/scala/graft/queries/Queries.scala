@@ -198,7 +198,12 @@ object Queries {
     * (sum of round(cost*1e9) BIGINTs) so aggregation order cannot
     * change the value and DuckDB reproduces it bit-for-bit. V (distinct
     * emitted chars) stays in-plan as a 1-row broadcast. */
-  def qLmPerplexity(s: SparkSession, dir: String): DataFrame = {
+  def qLmPerplexity(s: SparkSession, dir: String): DataFrame =
+    perplexityPerDoc(s, dir).orderBy("doc_id")
+
+  /** Per-doc char-LM cost under the corpus-trained 4-gram model — the
+    * shared core of [[qLmPerplexity]] and [[qPplBuckets]]. */
+  private def perplexityPerDoc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // NOT persisted: keys is the CORPUS-sized exploded per-char stream —
     // caching it at 100 TB writes a multiple of the corpus to disk. Its
@@ -233,6 +238,52 @@ object Queries {
       .select($"doc_id", $"n_chars",
         round($"nats", 6).as("nats"),
         round(exp($"nats" / $"n_chars"), 6).as("ppl"))
+  }
+
+  /** CCNet-style perplexity BUCKETING (Wenzek et al. 2020): split the
+    * corpus into head/middle/tail tertiles by LM perplexity — head =
+    * lowest-perplexity (cleanest) third, the slice CCNet keeps for LM
+    * training. The tertile cuts are calibrated on a FIXED-SIZE
+    * deterministic sample (CCNet itself fits its cut points on a
+    * sample): the 500 docs with the smallest u(doc_id) under the
+    * battery's md5 60-bit hash.
+    *
+    * Scale shape: the per-doc ppl table (one row per doc — small
+    * relative to the corpus it summarizes) persists once and feeds
+    * BOTH the sample and the final bucketing; the sample is a
+    * TakeOrderedAndProject (k-slot heaps, O(500) anywhere — a
+    * percentile over the FULL corpus would need a global sort or an
+    * approximate sketch); the cut derivation runs the exact
+    * histogram-cumulative-window discipline of [[qLenPercentiles]]
+    * over the bounded sample only (the lone global window in the
+    * plan covers <= 500 rows by construction); the cuts broadcast
+    * back as a 1-row cross join and bucket assignment is per-row.
+    * Exactness: ppl is the already-bit-exact q_lm_perplexity value
+    * (rounded to 6 before ANY comparison), cuts are discrete sample
+    * order statistics — no interpolation, no float aggregation. */
+  def qPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.HexPrefix64.hexPrefix64
+    import org.apache.spark.sql.expressions.Window
+    val ppl = registerCache(perplexityPerDoc(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val samp = ppl
+      .select($"ppl", hexPrefix64(md5($"doc_id".cast("string"))).as("u"),
+        $"doc_id")
+      .orderBy($"u", $"doc_id").limit(500)
+    val cw = Window.orderBy($"ppl")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = samp.groupBy($"ppl").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(cw))
+      .withColumn("total", sum($"c").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(min(when($"cum" >= ceil($"total" / 3.0), $"ppl")).as("p33"),
+        min(when($"cum" >= ceil($"total" * 2.0 / 3.0), $"ppl")).as("p67"))
+    ppl.crossJoin(broadcast(cuts))
+      .select($"doc_id", $"ppl",
+        when($"ppl" <= $"p33", "head")
+          .when($"ppl" <= $"p67", "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy($"doc_id")
   }
 

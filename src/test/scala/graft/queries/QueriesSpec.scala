@@ -983,6 +983,23 @@ class QueriesSpec extends AnyFunSuite {
     Queries.releaseCaches()
   }
 
+  test("ppl buckets: tertiles ordered head<=middle<=tail; sample cut via TakeOrdered") {
+    val df = Queries.qPplBuckets(spark, sf)
+    val rows = df.collect().map(r => (r.getDouble(1), r.getString(2)))
+    Queries.releaseCaches()
+    val byBucket = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // at sf0.001 the sample IS the corpus -> tertile sizes within 1 of n/3
+    val n = rows.length
+    byBucket.values.foreach(v =>
+      assert(math.abs(v.size - n / 3.0) <= 2, byBucket.view.mapValues(_.size).toMap))
+    // the calibration sample must be a bounded top-k, not a global sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("weighted sampling: ES selection matches local recompute; TakeOrdered, no global sort") {
     val df = Queries.qSampleWeighted(spark, sf)
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
