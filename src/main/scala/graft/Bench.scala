@@ -27,6 +27,8 @@ object Bench {
     "q_chunk_fixed", "q_tfidf_top", "q_bpe_pairs", "q_sessionize",
     "q_inverted_index",
     "q_semdedup", "q_bpe_encode", "q_dsir", "q_bm25", "q_winnow",
+    "q_pmi_bigrams", "q_setsim_join", "q_anchor_text", "q_sample_weighted",
+    "q_ppl_buckets", "q_hits",
     "q_tpch_pricing", "q_tpch_top_customers", "q_tpch_promo",
     "q_parts_cold", "q_suppliers_hot", "q_events_window", "q_events_asof")
 

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_link_graph" -> (Queries.qLinkGraph(_, _)),
     "q_anchor_text" -> (Queries.qAnchorText(_, _)),
     "q_pagerank" -> (Queries.qPagerank(_, _)),
+    "q_hits" -> (Queries.qHits(_, _)),
     "q_crawl_frontier" -> (Queries.qCrawlFrontier(_, _)),
     "q_robots_filter" -> (Queries.qRobotsFilter(_, _)),
     "q_fix_mojibake" -> (Queries.qFixMojibake(_, _)),

@@ -1353,6 +1353,49 @@ object Oracles {
     s"""WITH $pagerankCtes
        |SELECT url, r AS rank FROM r3 ORDER BY url""".stripMargin
 
+  /** HITS: same edge synthesis as the PageRank CTEs, two unrolled
+    * auth/hub rounds with integer max-normalization (`//` = Spark's
+    * `div` on positives). */
+  val qHits: String = {
+    val host = "CASE (%s) %% 3 WHEN 0 THEN 'news.example.org' " +
+      "WHEN 1 THEN 'blog.example.org' ELSE 'www.example.net' END"
+    val srcUrl = s"'https://' || ${host.format("doc_id % 97")} || '/articles/' || CAST(doc_id % 97 AS VARCHAR)"
+    val dstUrl = s"'https://' || ${host.format("(doc_id * 7 + 13) % 97")} || '/articles/' || CAST((doc_id * 7 + 13) % 97 AS VARCHAR)"
+    def authStep(hubPrev: String, cur: String): String =
+      s"""${cur}r AS (
+         |  SELECT e.dst AS url, CAST(sum(h.h * e.w) AS BIGINT) AS a
+         |  FROM e JOIN $hubPrev h ON e.src = h.url GROUP BY e.dst),
+         |${cur}m AS (SELECT max(a) AS mx FROM ${cur}r),
+         |$cur AS (
+         |  SELECT n.url, CAST(COALESCE(r.a, 0) * 1000000 // m.mx AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN ${cur}r r ON n.url = r.url, ${cur}m m)""".stripMargin
+    def hubStep(authPrev: String, cur: String): String =
+      s"""${cur}r AS (
+         |  SELECT e.src AS url, CAST(sum(a.a * e.w) AS BIGINT) AS h
+         |  FROM e JOIN $authPrev a ON e.dst = a.url GROUP BY e.src),
+         |${cur}m AS (SELECT max(h) AS mx FROM ${cur}r),
+         |$cur AS (
+         |  SELECT n.url, CAST(COALESCE(r.h, 0) * 1000000 // m.mx AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN ${cur}r r ON n.url = r.url, ${cur}m m)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT $srcUrl AS src,
+       |           'https://www.example.net/?page=' || CAST(doc_id % 4 AS VARCHAR) || '&sort=asc' AS dst
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT $srcUrl, $dstUrl FROM documents)
+       |  GROUP BY src, dst),
+       |nodes AS (SELECT DISTINCT url FROM (SELECT src AS url FROM e UNION ALL SELECT dst FROM e)),
+       |h0 AS (SELECT url, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |${authStep("h0", "a1")},
+       |${hubStep("a1", "h1")},
+       |${authStep("h1", "a2")},
+       |${hubStep("a2", "h2")}
+       |SELECT n.url, a2.a AS auth, h2.h AS hub
+       |FROM nodes n JOIN a2 ON n.url = a2.url JOIN h2 ON n.url = h2.url
+       |ORDER BY n.url""".stripMargin
+  }
+
   /** Crawl frontier: canonical fetch list (qUrlDedup arithmetic) ∩
     * robots-allowed set (qRobotsFilter arithmetic), prioritized by the
     * same integer pagerank the qPagerank oracle derives. */
@@ -1447,6 +1490,7 @@ object Oracles {
     "q_link_graph" -> qLinkGraph,
     "q_anchor_text" -> qAnchorText,
     "q_pagerank" -> qPagerank,
+    "q_hits" -> qHits,
     "q_crawl_frontier" -> qCrawlFrontier,
     "q_robots_filter" -> qRobotsFilter,
     "q_fix_mojibake" -> qFixMojibake,

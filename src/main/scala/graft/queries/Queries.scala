@@ -1508,6 +1508,71 @@ object Queries {
     ranks.select($"url", $"r".as("rank"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the same link
+    * graph as [[qPagerank]] — the OTHER classic link-analysis
+    * iteration: auth(u) = Σ_{s→u} hub(s)·w, hub(s) = Σ_{s→u}
+    * auth(u)·w, two rounds, each followed by L∞ (max) normalization
+    * in 1e6 fixed point — every step is an aggregation-order-
+    * independent integer mul/sum/floor-div, so the DuckDB oracle
+    * (unrolled CTE rounds, `//` = Spark's `div` on positives)
+    * matches bit-for-bit. L∞ instead of the textbook L2 precisely
+    * BECAUSE it keeps the iteration integer-exact (sqrt would put a
+    * float in the loop); rankings are identical under any positive
+    * rescaling.
+    *
+    * Scale shape: the weighted edge list persists once and feeds
+    * every round; each half-step is ONE node-sized join + ONE hash
+    * agg (the PageRank discipline); the normalizer is a 1-row max
+    * aggregate broadcast back IN-PLAN (never a driver collect). */
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val SCALE = 1000000L
+    val edges = registerCache(
+      docsDf(s, dir).select($"doc_id").as[Long]
+        .flatMap { id =>
+          val g = id % 97
+          val g2 = (id * 7 + 13) % 97
+          val src = s"https://${articleHost(g)}/articles/$g"
+          Seq(
+            (src, s"https://www.example.net/?page=${id % 4}&sort=asc"),
+            (src, s"https://${articleHost(g2)}/articles/$g2"))
+        }
+        .toDF("src", "dst")
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = registerCache(edges.select($"src".as("url"))
+      .union(edges.select($"dst".as("url"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // raw scores over all nodes (absent = 0), then max-normalize via a
+    // 1-row in-plan broadcast. Each half-step's node-sized table is
+    // PERSISTED: the normalizer reads it twice (max + projection) and
+    // the next half-step once — without the cache the doubled lineage
+    // re-derives every earlier round, 2^rounds blowup (the
+    // qDedupGroups iteration lesson).
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      val full = registerCache(nodes.join(raw, Seq("url"), "left")
+        .select($"url", coalesce(col(c), lit(0L)).as(c))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      full.crossJoin(broadcast(full.agg(max(col(c)).as("mx"))))
+        .select($"url", expr(s"$c * $SCALE div mx").as(c))
+    }
+    var hub = nodes.select($"url", lit(SCALE).as("h"))
+    var auth = nodes.select($"url", lit(0L).as("a"))
+    for (_ <- 1 to 2) {
+      auth = normalized(
+        edges.join(hub, edges("src") === hub("url"))
+          .groupBy($"dst").agg(sum($"h" * $"w").as("a"))
+          .withColumnRenamed("dst", "url"), "a")
+      hub = normalized(
+        edges.join(auth, edges("dst") === auth("url"))
+          .groupBy($"src").agg(sum($"a" * $"w").as("h"))
+          .withColumnRenamed("src", "url"), "h")
+    }
+    auth.join(hub, "url")
+      .select($"url", $"a".as("auth"), $"h".as("hub"))
+      .orderBy($"url")
+  }
+
   /** CRAWL-FRONTIER prioritization — the composition every crawler's
     * scheduler runs, chaining three already-oracled stages end to end:
     * (1) the messy fetch list collapses to canonical URLs with demand

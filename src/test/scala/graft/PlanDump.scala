@@ -128,6 +128,18 @@ object PlanDump extends App {
     "DSIR importance weights: hashed-bigram counts (1024 groups, one tiny agg with in-plan totals) fold into a broadcast DENSE log-ratio array; scoring is a per-row lambda fold against that array — the corpus never shuffles to be scored. Bigrams via zip_with(slice, slice): a lambda-body reference to the word split would re-evaluate it per element.")
   dump("q_bm25", graft.queries.Queries.qBm25(spark, sf),
     "BM25 retrieval: per-term tf and dl are per-row lambda folds; N/avgdl/df collapse into ONE 1-row conditional aggregate broadcast back (BroadcastNestedLoopJoin); top-20 is a TakeOrderedAndProject — zero corpus shuffle for a bounded query-term set.")
+  dump("q_setsim_join", graft.queries.Queries.qSetsimJoin(spark, sf),
+    "Exact set-similarity join (AllPairs prefix filtering): ONE shingle explode feeds the df agg; the df-ordered set table persists and is read by the prefix explode AND both verify sides; candidates come from a self-join on only the (n - ceil(0.9n) + 1)-prefix tokens (rarest-first order) with the 10*min>=9*max size filter INSIDE the join condition; verification is array_intersect on candidates only and membership is decided by integer cross-multiplication 19*inter >= 9*(na+nb).")
+  dump("q_pmi_bigrams", graft.queries.Queries.qPmiBigrams(spark, sf),
+    "PMI collocations: one bigram explode -> (a,b) hash agg, one word explode -> vocab agg; both totals stay IN-PLAN as 1-row broadcast cross joins; the two unigram joins are unhinted (vocab scales, AQE decides); the ln runs once per surviving pair over pure integer counts.")
+  dump("q_anchor_text", graft.queries.Queries.qAnchorText(spark, sf),
+    "Anchor-text aggregation: per-row synthesize+parse flatMap -> ONE (dst, anchor) hash agg -> ONE dst-keyed fold where the dominant anchor is min(struct(-cnt, anchor)) — per-group state is a single struct, never a list (hot targets would buffer their full Zipf-skewed anchor set under collect-and-rank).")
+  dump("q_sample_weighted", graft.queries.Queries.qSampleWeighted(spark, sf),
+    "Efraimidis-Spirakis weighted sampling without replacement: per-row key = -ln(u)/n_chars over a 2-column pruned scan, selection = TakeOrderedAndProject (k-slot task heaps, no global sort, no corpus shuffle).")
+  dump("q_ppl_buckets", graft.queries.Queries.qPplBuckets(spark, sf),
+    "CCNet perplexity tertiles: the per-doc ppl aggregate persists once and feeds BOTH the 500-doc calibration sample (TakeOrderedAndProject — bounded at any corpus size) and the final per-row bucketing; the only global window runs over the <=500-row sample histogram; cuts broadcast back as a 1-row cross join.")
+  dump("q_hits", graft.queries.Queries.qHits(spark, sf),
+    "HITS hubs/authorities: persisted edge list feeds every round; each half-step is ONE node-sized join + ONE hash agg; the L-inf normalizer is a 1-row max broadcast IN-PLAN; each half-step table persists (two consumers) so lineage never re-derives earlier rounds (2^rounds blowup without it — measured 77s -> 18s at sf0.01).")
   dump("q_winnow", graft.queries.Queries.qWinnow(spark, sf),
     "Winnowing fingerprints: pure per-row pipeline (gram hash -> zip_with min-tree -> distinct -> xor checksum) with the gram-hash array LET-BOUND via single-element transform (a lambda variable evaluates once; inlined references re-evaluate per use — measured 109s vs 3.6s at sf0.1) and the result struct emitted through inline(); the only Exchange is the presentation sort.")
   Files.writeString(Paths.get("/root/repo/PLANS.md"),

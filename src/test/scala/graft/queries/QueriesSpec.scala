@@ -983,6 +983,22 @@ class QueriesSpec extends AnyFunSuite {
     Queries.releaseCaches()
   }
 
+  test("hits: sinks have hub 0, sources auth 0, max-normalization hits SCALE exactly") {
+    val rows = Queries.qHits(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    Queries.releaseCaches()
+    val (navs, arts) = rows.partition(_._1.contains("?page="))
+    // nav pages have no outlinks -> pure authorities (hub 0)
+    assert(navs.nonEmpty && navs.forall(_._3 == 0L))
+    // article pages are the only sources; at least one pure hub exists
+    assert(arts.forall(t => t._3 > 0L || t._2 > 0L))
+    // L-inf normalization: the max of each score vector is exactly SCALE
+    assert(rows.map(_._2).max == 1000000L && rows.map(_._3).max == 1000000L)
+    // authority mass concentrates on the 4 shared nav targets
+    val topAuth = rows.sortBy(-_._2).take(4).map(_._1).toSet
+    assert(topAuth == navs.map(_._1).toSet)
+  }
+
   test("ppl buckets: tertiles ordered head<=middle<=tail; sample cut via TakeOrdered") {
     val df = Queries.qPplBuckets(spark, sf)
     val rows = df.collect().map(r => (r.getDouble(1), r.getString(2)))
