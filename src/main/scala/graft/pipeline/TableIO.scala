@@ -127,17 +127,7 @@ object TableIO {
 
     // per-bucket lineage stats (second pass over the persisted rows; at
     // real cluster scale these come from task-side commit messages instead)
-    val stats = withBucket
-      .select($"bucket", $"doc_id", size($"spans").as("ns"),
-        xxhash64($"doc_id", to_json($"spans")).as("h"))
-      .groupBy($"bucket")
-      .agg(count(lit(1)).as("numDocs"), sum($"ns").as("numSpans"),
-        min($"doc_id").as("minId"), max($"doc_id").as("maxId"),
-        expr("bit_xor(h)").as("checksum")) // xor: overflow-free, order-independent
-      .collect()
-      .map(r => r.getInt(0) -> BucketManifest(r.getInt(0), r.getLong(1),
-        r.getLong(2), r.getString(3), r.getString(4), r.getLong(5), attemptId))
-      .toMap
+    val stats = bucketStats(withBucket, attemptId)
     withBucket.unpersist(blocking = false)
 
     val committed = scala.collection.mutable.ArrayBuffer.empty[BucketManifest]
@@ -177,6 +167,95 @@ object TableIO {
     publishString(fs, new Path(root, s"_snapshot-$snapN.json"),
       s"""{"snapshot":$snapN,"attempt":"$attemptId","buckets":[${all.mkString(",")}]$metricsJson}""")
     committed.toSeq
+  }
+
+  /** Per-bucket lineage stats over a bucketed Doc frame (shared by
+    * [[writeDocs]] and [[mergeDocs]]). */
+  private def bucketStats(withBucket: org.apache.spark.sql.DataFrame,
+      attemptId: String): Map[Int, BucketManifest] =
+    withBucket
+      .select(col("bucket"), col("doc_id"), size(col("spans")).as("ns"),
+        xxhash64(col("doc_id"), to_json(col("spans"))).as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("numDocs"), sum(col("ns")).as("numSpans"),
+        min(col("doc_id")).as("minId"), max(col("doc_id")).as("maxId"),
+        expr("bit_xor(h)").as("checksum"))
+      .collect()
+      .map(r => r.getInt(0) -> BucketManifest(r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getString(3), r.getString(4), r.getLong(5), attemptId))
+      .toMap
+
+  /** Copy-on-write MERGE — the Iceberg `MERGE INTO` (COW strategy)
+    * analogue: upsert `updates` into the committed table by doc_id.
+    * Only buckets containing an updated key are rewritten — each
+    * affected bucket's new data = updates ∪ (its existing rows whose
+    * doc_id was NOT updated), written ONCE under a fresh attempt dir;
+    * the commit REPOINTS the affected bucket manifests (atomic
+    * single-file publish). Untouched buckets keep their manifests
+    * verbatim, and the superseded data files stay on disk — the
+    * previous snapshot still describes a consistent table (time
+    * travel) until vacuum() reclaims them. A crash mid-publish leaves
+    * a prefix of affected buckets repointed; every manifest remains
+    * individually consistent (lineage stats intact) and re-running
+    * the same merge rewrites identical content (idempotence is
+    * spec-pinned by checksum equality).
+    *
+    * Scale shape: the existing side reads ONLY the affected buckets'
+    * files (manifest-driven pruning — an update touching 3 of 4096
+    * buckets scans 3 buckets of a 100-TB table); both sides carry the
+    * same xxhash64(doc_id) % buckets key so the anti-join
+    * co-partitions; lineage stats ride one pass over the persisted
+    * merged frame, exactly like writeDocs. `updates` must carry
+    * unique doc_ids (the MERGE contract). */
+  def mergeDocs(updates: Dataset[Doc], path: String, buckets: Int = 32,
+      attemptId: String = "merge-0"): Seq[BucketManifest] = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    val (fs, root) = fsFor(spark.sparkContext.hadoopConfiguration, path)
+    fs.mkdirs(manifestDir(root))
+    fs.mkdirs(dataDir(root))
+    val bucketOf = pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int")
+    val up = updates.toDF().withColumn("bucket", bucketOf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val affected = up.select($"bucket").distinct().as[Int].collect().sorted
+    if (affected.isEmpty) { up.unpersist(blocking = false); return Seq.empty }
+    val oldFiles = readManifests(path, spark.sparkContext.hadoopConfiguration)
+      .filter(m => affected.contains(m.bucket)).flatMap(_.files)
+    val existing =
+      if (oldFiles.isEmpty) up.limit(0)
+      else spark.read.parquet(oldFiles: _*)
+        .select(col("doc_id"), col("spans")).withColumn("bucket", bucketOf)
+    val merged = up
+      .unionByName(existing.join(up.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .select(up.columns.map(col).toSeq: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val attemptDir = freshAttemptDir(fs, root, attemptId)
+    merged.write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("bucket").parquet(attemptDir.toString)
+    val stats = bucketStats(merged, attemptId)
+    merged.unpersist(blocking = false)
+    up.unpersist(blocking = false)
+    val committed = affected.toSeq.map { b =>
+      val src = new Path(attemptDir, s"bucket=$b")
+      val files =
+        if (!fs.exists(src)) Seq.empty[String]
+        else fs.listStatus(src).iterator.map(_.getPath)
+          .filter(p => p.getName.startsWith("part-"))
+          .map(_.toString).toSeq.sorted
+      val m = stats.getOrElse(b,
+        BucketManifest(b, 0L, 0L, "", "", 0L, attemptId)).copy(files = files)
+      publishString(fs, new Path(manifestDir(root), s"bucket-$b.json"),
+        manifestJson(m))
+      m
+    }
+    val snapN = fs.listStatus(root).iterator
+      .count(_.getPath.getName.startsWith("_snapshot-"))
+    val all = committedBuckets(fs, root).toSeq.sorted
+    publishString(fs, new Path(root, s"_snapshot-$snapN.json"),
+      s"""{"snapshot":$snapN,"attempt":"$attemptId","merge":true,""" +
+        s""""rewrittenBuckets":[${affected.mkString(",")}],""" +
+        s""""buckets":[${all.mkString(",")}]}""")
+    committed
   }
 
   /** All committed manifests, parsed (Jackson rides in with Spark). */

@@ -130,6 +130,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(snap.contains(s""""docs":60"""), snap)
   }
 
+  test("COW merge: updated rows replaced, untouched buckets keep manifests, idempotent, time travel until vacuum") {
+    import spark.implicits._
+    val p = s"${Files.createTempDirectory("graft-io-merge")}/t"
+    val docs = DocGen.docs(spark, 60, seed = 3L, partitions = 4)
+    TableIO.writeDocs(docs, p, buckets = 8)
+    val before = TableIO.readManifests(p).map(m => m.bucket -> m).toMap
+    // updates: rewrite docs 0..9 with a single marker span + one brand-new doc
+    def id(i: Int): String = f"doc-$i%08d"
+    val upd = (Seq.tabulate(10)(i =>
+      Doc(id(i), Seq(Span("text", s"updated $i", null, 0)))) :+
+      Doc("doc-99999999", Seq(Span("text", "brand new", null, 0)))).toDS()
+    val ms = TableIO.mergeDocs(upd, p, buckets = 8, attemptId = "merge-0")
+    val affected = ms.map(_.bucket).toSet
+    // untouched buckets keep their manifests VERBATIM (same attempt, files)
+    val after = TableIO.readManifests(p).map(m => m.bucket -> m).toMap
+    for (b <- 0 until 8 if !affected.contains(b))
+      assert(after(b) == before(b), s"bucket $b was rewritten")
+    // merged read: updated content wins, everything else intact, new doc present
+    val got = TableIO.readDocs(spark, p).collect().map(d => d.doc_id -> d).toMap
+    assert(got.size == 61)
+    for (i <- 0 until 10) assert(got(id(i)).spans.map(_.text) == Seq(s"updated $i"))
+    assert(got("doc-99999999").spans.head.text == "brand new")
+    val orig = docs.collect().map(d => d.doc_id -> d).toMap
+    for (i <- 10 until 60) assert(got(id(i)) == orig(id(i)))
+    // idempotence: re-merging the same updates commits identical content
+    val ms2 = TableIO.mergeDocs(upd, p, buckets = 8, attemptId = "merge-1")
+    assert(ms2.map(m => (m.bucket, m.numDocs, m.numSpans, m.checksum)).toSet ==
+      ms.map(m => (m.bucket, m.numDocs, m.numSpans, m.checksum)).toSet)
+    // superseded files still on disk (previous snapshot = time travel)
+    // until vacuum reclaims exactly the unreferenced ones
+    val reclaimed = TableIO.vacuum(p)
+    assert(reclaimed.nonEmpty)
+    assert(TableIO.readDocs(spark, p).count() == 61)
+    // merge snapshot recorded
+    val snaps = new java.io.File(p).listFiles()
+      .map(_.getName).filter(_.startsWith("_snapshot-"))
+    assert(snaps.length == 3) // write + 2 merges
+  }
+
   test("metadata-pointer commit: orphans invisible, temp manifests don't count, vacuum reclaims") {
     val p = s"${Files.createTempDirectory("graft-io-meta")}/t"
     val docs = DocGen.docs(spark, 60, seed = 3L, partitions = 4)
