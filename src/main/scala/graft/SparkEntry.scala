@@ -90,6 +90,7 @@ object SparkEntry {
     "q_parts_cold" -> (Analytics.qPartsCold(_, _)),
     "q_suppliers_hot" -> (Analytics.qSuppliersHot(_, _)),
     "q_events_window" -> (Analytics.qEventsWindow(_, _)),
+    "q_scd_current" -> (Analytics.qScdCurrent(_, _)),
     "q_events_asof" -> (Analytics.qEventsAsof(_, _)),
     "q_sessionize" -> (Analytics.qSessionize(_, _)),
     // training-data pipeline: text analysis

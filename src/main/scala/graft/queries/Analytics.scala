@@ -222,6 +222,32 @@ object Analytics {
       .orderBy($"user_id", $"sess_id")
   }
 
+  /** SCD "current state" view — the latest-wins compaction every CDC /
+    * lakehouse pipeline runs (the relational face of
+    * [[graft.pipeline.TableIO.mergeDocs]]'s upsert semantics): per
+    * user, the most recent event by (ts, event_id) decides the row.
+    *
+    * Scale shape: ONE max(struct(ts, event_id, ...)) hash aggregate —
+    * map-side combinable, per-group state is a single struct. The
+    * row_number()-over-user window formulation (what the oracle uses,
+    * deliberately independent) would buffer and sort whole partitions
+    * to keep rank 1; the struct-max agg never holds more than one row
+    * per group per task. Tie-break is total because event_id is
+    * unique; ts emits as epoch micros (BIGINT, timezone-free on both
+    * engines) and value as integer cents. */
+  def qScdCurrent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", $"ts".cast("timestamp")) // NTZ -> LTZ (UTC session)
+      .groupBy($"user_id")
+      .agg(max(struct($"ts", $"event_id", $"event_type",
+        cents("value").as("c"))).as("m"))
+      .select($"user_id", unix_micros($"m.ts").as("last_us"),
+        $"m.event_id".as("last_event_id"), $"m.event_type".as("last_type"),
+        $"m.c".as("last_c"))
+      .orderBy($"user_id")
+  }
+
   /** Batch mirror of the streaming 5-minute window aggregation
     * (StreamingCorrection.eventWindowAgg): tumbling window per
     * event_type, epoch-aligned; window start emitted as epoch seconds

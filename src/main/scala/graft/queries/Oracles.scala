@@ -919,6 +919,21 @@ object Oracles {
       |FROM j GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY region, nation""".stripMargin
 
+  /** SCD current view, INDEPENDENT formulation: rank-1 row_number over
+    * (ts DESC, event_id DESC) per user — vs the Spark side's
+    * struct-max aggregate. Epoch micros / integer cents. */
+  val qScdCurrent: String =
+    """WITH r AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS c,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_us,
+      |       event_id AS last_event_id, event_type AS last_type,
+      |       c AS last_c
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val qEventsWindow: String =
     """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w_start,
       |  event_type, count(*) AS n,
@@ -1538,6 +1553,7 @@ object Oracles {
     "q_parts_cold" -> qPartsCold,
     "q_suppliers_hot" -> qSuppliersHot,
     "q_events_window" -> qEventsWindow,
+    "q_scd_current" -> qScdCurrent,
     "q_events_asof" -> qEventsAsof,
     "q_sessionize" -> qSessionize,
     "q_ann_ivf" -> qAnnIvf,

@@ -983,6 +983,27 @@ class QueriesSpec extends AnyFunSuite {
     Queries.releaseCaches()
   }
 
+  test("scd current: latest-wins per user matches local recompute; aggregate, not a window") {
+    val df = Analytics.qScdCurrent(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+    val expected = spark.read.parquet(s"$sf/events.parquet").collect()
+      .map(r => (r.getLong(2), (r.getAs[java.time.LocalDateTime](1), r.getLong(0),
+        r.getString(3), math.round(r.getDouble(4) * 100))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(t => (t._1.toString, t._2)))
+      .toMap
+    assert(got.length == expected.size)
+    for ((u, (us, eid, tpe, c)) <- got) {
+      val e = expected(u)
+      assert(eid == e._2 && tpe == e._3 && c == e._4, s"user $u")
+      assert(us == e._1.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000 +
+        e._1.getNano / 1000 % 1000, s"user $u ts")
+    }
+    // one struct-max hash aggregate; never a per-user sort window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("hits: sinks have hub 0, sources auth 0, max-normalization hits SCALE exactly") {
     val rows = Queries.qHits(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
