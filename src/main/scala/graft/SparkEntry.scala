@@ -71,6 +71,7 @@ object SparkEntry {
     "q_anchor_text" -> (Queries.qAnchorText(_, _)),
     "q_pagerank" -> (Queries.qPagerank(_, _)),
     "q_hits" -> (Queries.qHits(_, _)),
+    "q_cocitation" -> (Queries.qCocitation(_, _)),
     "q_crawl_frontier" -> (Queries.qCrawlFrontier(_, _)),
     "q_robots_filter" -> (Queries.qRobotsFilter(_, _)),
     "q_fix_mojibake" -> (Queries.qFixMojibake(_, _)),

@@ -1411,6 +1411,27 @@ object Oracles {
        |ORDER BY n.url""".stripMargin
   }
 
+  /** Co-citation: same edge synthesis, self-join on source, exact
+    * integer counts + min-weight strength. */
+  val qCocitation: String = {
+    val host = "CASE (%s) %% 3 WHEN 0 THEN 'news.example.org' " +
+      "WHEN 1 THEN 'blog.example.org' ELSE 'www.example.net' END"
+    val srcUrl = s"'https://' || ${host.format("doc_id % 97")} || '/articles/' || CAST(doc_id % 97 AS VARCHAR)"
+    val dstUrl = s"'https://' || ${host.format("(doc_id * 7 + 13) % 97")} || '/articles/' || CAST((doc_id * 7 + 13) % 97 AS VARCHAR)"
+    s"""WITH e AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT $srcUrl AS src,
+       |           'https://www.example.net/?page=' || CAST(doc_id % 4 AS VARCHAR) || '&sort=asc' AS dst
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT $srcUrl, $dstUrl FROM documents)
+       |  GROUP BY src, dst)
+       |SELECT a.dst AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS n_src,
+       |       CAST(sum(least(a.w, b.w)) AS BIGINT) AS strength
+       |FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+       |GROUP BY u, v ORDER BY u, v""".stripMargin
+  }
+
   /** Crawl frontier: canonical fetch list (qUrlDedup arithmetic) ∩
     * robots-allowed set (qRobotsFilter arithmetic), prioritized by the
     * same integer pagerank the qPagerank oracle derives. */
@@ -1506,6 +1527,7 @@ object Oracles {
     "q_anchor_text" -> qAnchorText,
     "q_pagerank" -> qPagerank,
     "q_hits" -> qHits,
+    "q_cocitation" -> qCocitation,
     "q_crawl_frontier" -> qCrawlFrontier,
     "q_robots_filter" -> qRobotsFilter,
     "q_fix_mojibake" -> qFixMojibake,

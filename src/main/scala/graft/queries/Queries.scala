@@ -1573,6 +1573,43 @@ object Queries {
       .orderBy($"url")
   }
 
+  /** CO-CITATION strength (Small 1973) over the link graph — the
+    * classic relatedness measure search engines derive from crawl
+    * data: two targets are related when the same sources link BOTH.
+    * Per unordered target pair: the number of common sources and the
+    * weighted strength Σ_src min(w_src→u, w_src→v), both exact
+    * integers.
+    *
+    * Scale shape: the self-join key is the SOURCE, and a page's
+    * out-degree is bounded by its link count (single digits to
+    * hundreds on the real web) — so candidate pairs grow LINEARLY in
+    * the corpus, unlike bibliographic coupling (join on target),
+    * whose hot-target in-degree grows with the corpus and explodes
+    * quadratically without a df-cut; on this graph coupling is also
+    * degenerate (the g→g2 article map is a bijection, so article
+    * targets have in-degree 1). One grouped-edge self-join + one
+    * pair-keyed hash agg. */
+  def qCocitation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = docsDf(s, dir).select($"doc_id").as[Long]
+      .flatMap { id =>
+        val g = id % 97
+        val g2 = (id * 7 + 13) % 97
+        val src = s"https://${articleHost(g)}/articles/$g"
+        Seq(
+          (src, s"https://www.example.net/?page=${id % 4}&sort=asc"),
+          (src, s"https://${articleHost(g2)}/articles/$g2"))
+      }
+      .toDF("src", "dst")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+    e.as("a").join(e.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("u"), col("b.dst").as("v"))
+      .agg(count(lit(1)).as("n_src"),
+        sum(least(col("a.w"), col("b.w"))).as("strength"))
+      .orderBy($"u", $"v")
+  }
+
   /** CRAWL-FRONTIER prioritization — the composition every crawler's
     * scheduler runs, chaining three already-oracled stages end to end:
     * (1) the messy fetch list collapses to canonical URLs with demand

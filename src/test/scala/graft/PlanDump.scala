@@ -140,6 +140,8 @@ object PlanDump extends App {
     "CCNet perplexity tertiles: the per-doc ppl aggregate persists once and feeds BOTH the 500-doc calibration sample (TakeOrderedAndProject — bounded at any corpus size) and the final per-row bucketing; the only global window runs over the <=500-row sample histogram; cuts broadcast back as a 1-row cross join.")
   dump("q_scd_current", graft.queries.Analytics.qScdCurrent(spark, sf),
     "SCD latest-wins current view (CDC compaction): ONE max(struct(ts, event_id, ...)) partial+final hash aggregate — single-struct group state, map-side combinable; the rank-1 window formulation (the oracle's independent restatement) would buffer and sort whole user partitions.")
+  dump("q_cocitation", graft.queries.Queries.qCocitation(spark, sf),
+    "Co-citation: grouped-edge self-join keyed on SOURCE (bounded out-degree -> linear candidates) + ONE pair-keyed hash agg; exact integer counts and min-weight strength.")
   dump("q_hits", graft.queries.Queries.qHits(spark, sf),
     "HITS hubs/authorities: persisted edge list feeds every round; each half-step is ONE node-sized join + ONE hash agg; the L-inf normalizer is a 1-row max broadcast IN-PLAN; each half-step table persists (two consumers) so lineage never re-derives earlier rounds (2^rounds blowup without it — measured 77s -> 18s at sf0.01).")
   dump("q_winnow", graft.queries.Queries.qWinnow(spark, sf),

@@ -1004,6 +1004,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("cocitation: pairs and min-weight strength match a local recompute") {
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    def host(g: Long) = (g % 3) match {
+      case 0 => "news.example.org"; case 1 => "blog.example.org"
+      case _ => "www.example.net"
+    }
+    val edges = ids.flatMap { id =>
+      val g = id % 97; val g2 = (id * 7 + 13) % 97
+      val src = s"https://${host(g)}/articles/$g"
+      Seq((src, s"https://www.example.net/?page=${id % 4}&sort=asc"),
+        (src, s"https://${host(g2)}/articles/$g2"))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = edges.keys.groupBy(_._1).values.flatMap { ds =>
+      val dsts = ds.map(_._2).toSeq.sorted
+      for {
+        i <- dsts.indices; j <- (i + 1) until dsts.length
+        s = ds.head._1
+      } yield ((dsts(i), dsts(j)), (1L, math.min(edges((s, dsts(i))), edges((s, dsts(j))))))
+    }.groupBy(_._1).view
+      .mapValues(v => (v.map(_._2._1).sum, v.map(_._2._2).sum)).toMap
+    val got = Queries.qCocitation(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("hits: sinks have hub 0, sources auth 0, max-normalization hits SCALE exactly") {
     val rows = Queries.qHits(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
