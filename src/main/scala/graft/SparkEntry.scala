@@ -81,6 +81,7 @@ object SparkEntry {
     "q_ann_lsh" -> (Queries.qAnnLsh(_, _)),
     "q_ann_ivf" -> (Queries.qAnnIvf(_, _)),
     "q_semdedup" -> (Queries.qSemdedup(_, _)),
+    "q_jl_project" -> (Queries.qJlProject(_, _)),
     // training-data pipeline: multimodal plumbing
     "q_media_features" -> (Queries.qMediaFeatures(_, _)),
     // relational analytics battery (TPC-H-ish tables + events)

@@ -1411,6 +1411,25 @@ object Oracles {
        |ORDER BY n.url""".stripMargin
   }
 
+  /** JL projection: the SAME shared sign constants (Queries.JlSigns)
+    * inlined into SQL; identical fixed-point BIGINT sums, one final
+    * divide rounded to 6. */
+  val qJlProject: String = {
+    val fp = (0 until 16).map(i =>
+      s"CAST(round(embedding[${i + 1}] * 1e6) AS BIGINT)").mkString("[", ", ", "]")
+    val ys = (0 until 8).map { j =>
+      val sum = Queries.JlSigns.indices.map { i =>
+        val s = Queries.JlSigns(i)(j)
+        s"(${if (s > 0) "" else "-"}f[${i + 1}])"
+      }.mkString(" + ")
+      s"round(CAST($sum AS DOUBLE) / 1e6 / sqrt(8), 6) AS y$j"
+    }.mkString(",\n|       ")
+    s"""WITH fp AS (SELECT vec_id, $fp AS f FROM embeddings)
+       |SELECT vec_id,
+       |       $ys
+       |FROM fp ORDER BY vec_id""".stripMargin
+  }
+
   /** Co-citation: same edge synthesis, self-join on source, exact
     * integer counts + min-weight strength. */
   val qCocitation: String = {
@@ -1528,6 +1547,7 @@ object Oracles {
     "q_pagerank" -> qPagerank,
     "q_hits" -> qHits,
     "q_cocitation" -> qCocitation,
+    "q_jl_project" -> qJlProject,
     "q_crawl_frontier" -> qCrawlFrontier,
     "q_robots_filter" -> qRobotsFilter,
     "q_fix_mojibake" -> qFixMojibake,

@@ -1573,6 +1573,45 @@ object Queries {
       .orderBy($"url")
   }
 
+  /** JL sign matrix (16 in-dims × 8 out-dims), generated from the
+    * MinHashDefs 60-bit hash of "jl_i_j" — one shared deterministic
+    * constant table that BOTH engines' SQL is generated from (the
+    * MinHashDefs.A/B discipline). */
+  val JlSigns: IndexedSeq[IndexedSeq[Int]] =
+    IndexedSeq.tabulate(16, 8)((i, j) =>
+      if (MinHashDefs.hash60(s"jl_${i}_$j") % 2 == 0) 1 else -1)
+
+  /** Johnson–Lindenstrauss RANDOM PROJECTION (Achlioptas 2003's ±1
+    * database-friendly variant): embeddings fold to k = 8 dimensions
+    * via y_j = (1/√8) Σ_i s_ij·x_i with a deterministic ±1 sign
+    * matrix — the dimensionality-reduction front end of every
+    * large-scale similarity system (shrinks the ANN/SemDeDup working
+    * set 2x here, d→√d-ish in production).
+    *
+    * Scale shape: pure per-row projection over the scan — NO shuffle
+    * (presentation sort only). Components enter as round(x·1e6)
+    * BIGINTs (the qAnnIvf fixed-point discipline) so each output is
+    * an exact INTEGER sum — aggregation-order-free — with one final
+    * float divide rounded to 6; the fixed-point array is LET-BOUND
+    * via single-element transform (the qWinnow lesson: 8 output
+    * lambdas reference it — inlined, the round(x·1e6) pass would
+    * re-run per output dim). */
+  def qJlProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 8
+    val fpExpr = transform($"embedding", x => round(x * 1e6).cast("long"))
+    val row = element_at(transform(array(fpExpr), fp =>
+      struct((0 until K).map { j =>
+        val sum = JlSigns.indices.map(i =>
+          element_at(fp, i + 1) * lit(JlSigns(i)(j))).reduce(_ + _)
+        round(sum.cast("double") / 1e6 / math.sqrt(K), 6).as(s"y$j")
+      }: _*)), 1)
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", row.as("y"))
+      .select($"vec_id" +: (0 until K).map(j => col(s"y.y$j").as(s"y$j")): _*)
+      .orderBy($"vec_id")
+  }
+
   /** CO-CITATION strength (Small 1973) over the link graph — the
     * classic relatedness measure search engines derive from crawl
     * data: two targets are related when the same sources link BOTH.

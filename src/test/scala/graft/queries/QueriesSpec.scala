@@ -1004,6 +1004,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("jl projection: formula exact on basis vectors; signs balanced; scan-only plan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jl").toString
+    // basis vector e_i must project to column i of the sign matrix / sqrt(8);
+    // the zero vector to zeros; a scaled basis vector scales linearly
+    val vecs = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d == i) 1.0f else 0.0f))) ++
+      Seq((16L, Array.fill(16)(0.0f)), (17L, Array.tabulate(16)(d => if (d == 3) 2.5f else 0.0f)))
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Queries.qJlProject(spark, dir).collect()
+      .map(r => (r.getLong(0), (1 to 8).map(r.getDouble).toArray)).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (i <- 0 until 16; j <- 0 until 8)
+      assert(got(i.toLong)(j) == r6(Queries.JlSigns(i)(j) / math.sqrt(8)), s"e$i y$j")
+    assert(got(16L).forall(_ == 0.0))
+    for (j <- 0 until 8)
+      assert(got(17L)(j) == r6(2.5 * Queries.JlSigns(3)(j) / math.sqrt(8)), s"scaled y$j")
+    // a degenerate all-equal sign column would make that output dim
+    // just the (scaled) component sum — the hash matrix must mix
+    for (j <- 0 until 8)
+      assert(math.abs(Queries.JlSigns.map(_(j)).sum) < 16, s"column $j constant")
+    // pure per-row projection: the only exchange is the presentation sort
+    val df = Queries.qJlProject(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), plan)
+  }
+
   test("cocitation: pairs and min-weight strength match a local recompute") {
     val ids = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0))
