@@ -28,7 +28,7 @@ object Bench {
     "q_inverted_index",
     "q_semdedup", "q_bpe_encode", "q_dsir", "q_bm25", "q_winnow",
     "q_pmi_bigrams", "q_setsim_join", "q_anchor_text", "q_sample_weighted",
-    "q_ppl_buckets", "q_hits", "q_cocitation", "q_jl_project",
+    "q_ppl_buckets", "q_hits", "q_cocitation", "q_jl_project", "q_stupid_backoff",
     "q_tpch_pricing", "q_tpch_top_customers", "q_tpch_promo",
     "q_parts_cold", "q_suppliers_hot", "q_events_window", "q_events_asof", "q_scd_current")
 

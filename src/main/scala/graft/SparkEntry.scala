@@ -33,6 +33,7 @@ object SparkEntry {
     // perplexity quality filter scored under that LM
     "q_lm_ngrams" -> (Queries.qLmNgrams(_, _)),
     "q_lm_perplexity" -> (Queries.qLmPerplexity(_, _)),
+    "q_stupid_backoff" -> (Queries.qStupidBackoff(_, _)),
     "q_ppl_buckets" -> (Queries.qPplBuckets(_, _)),
     "q_len_percentiles" -> (Queries.qLenPercentiles(_, _)),
     "q_substring_dup" -> (Queries.qSubstringDup(_, _)),

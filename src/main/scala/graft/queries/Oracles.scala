@@ -1411,6 +1411,47 @@ object Oracles {
        |ORDER BY n.url""".stripMargin
   }
 
+  /** Stupid backoff: counts from the even-doc_id half, same backoff
+    * CASE chain, ln in 1e9 fixed point before the per-doc sum. */
+  val qStupidBackoff: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |uni AS (
+      |  SELECT u, CAST(count(*) AS BIGINT) AS c1
+      |  FROM base, LATERAL (SELECT unnest(w) AS u) x
+      |  WHERE doc_id % 2 = 0 GROUP BY u),
+      |big AS (
+      |  SELECT w[CAST(i AS INTEGER) - 1] AS a, w[CAST(i AS INTEGER)] AS b,
+      |         CAST(count(*) AS BIGINT) AS c2
+      |  FROM base, LATERAL (SELECT unnest(range(2, len(w) + 1)) AS i) x
+      |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |tric AS (
+      |  SELECT w[CAST(i AS INTEGER) - 2] AS w1, w[CAST(i AS INTEGER) - 1] AS w2,
+      |         w[CAST(i AS INTEGER)] AS w3, CAST(count(*) AS BIGINT) AS c3
+      |  FROM base, LATERAL (SELECT unnest(range(3, len(w) + 1)) AS i) x
+      |  WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+      |nt AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+      |tri AS (
+      |  SELECT doc_id, w[CAST(i AS INTEGER) - 2] AS w1,
+      |         w[CAST(i AS INTEGER) - 1] AS w2, w[CAST(i AS INTEGER)] AS w3
+      |  FROM base, LATERAL (SELECT unnest(range(3, len(w) + 1)) AS i) x),
+      |scored AS (
+      |  SELECT doc_id, CAST(round(ln(
+      |    CASE WHEN tc.c3 IS NOT NULL THEN CAST(tc.c3 AS DOUBLE) / bc.c2
+      |         WHEN bl.c2 IS NOT NULL THEN 0.4 * bl.c2 / um.c1
+      |         WHEN uw.c1 IS NOT NULL THEN 0.16 * uw.c1 / nt.n
+      |         ELSE 0.064 / nt.n END) * 1e9) AS BIGINT) AS nats9
+      |  FROM tri
+      |  LEFT JOIN tric tc ON tc.w1 = tri.w1 AND tc.w2 = tri.w2 AND tc.w3 = tri.w3
+      |  LEFT JOIN big bc ON bc.a = tri.w1 AND bc.b = tri.w2
+      |  LEFT JOIN big bl ON bl.a = tri.w2 AND bl.b = tri.w3
+      |  LEFT JOIN uni um ON um.u = tri.w2
+      |  LEFT JOIN uni uw ON uw.u = tri.w3, nt)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+      |       round(CAST(sum(nats9) AS DOUBLE) / 1e9, 6) AS logprob
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** JL projection: the SAME shared sign constants (Queries.JlSigns)
     * inlined into SQL; identical fixed-point BIGINT sums, one final
     * divide rounded to 6. */
@@ -1548,6 +1589,7 @@ object Oracles {
     "q_hits" -> qHits,
     "q_cocitation" -> qCocitation,
     "q_jl_project" -> qJlProject,
+    "q_stupid_backoff" -> qStupidBackoff,
     "q_crawl_frontier" -> qCrawlFrontier,
     "q_robots_filter" -> qRobotsFilter,
     "q_fix_mojibake" -> qFixMojibake,

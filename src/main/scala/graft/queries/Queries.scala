@@ -1573,6 +1573,68 @@ object Queries {
       .orderBy($"url")
   }
 
+  /** STUPID BACKOFF word-trigram LM scoring (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the LM scheme
+    * DESIGNED for MapReduce-scale counts: no discounting, no
+    * normalization, just count ratios with a fixed 0.4 backoff
+    * penalty). Counts train on the EVEN-doc_id half (the battery's
+    * pseudo-split discipline) and every doc scores against them, so
+    * the backoff chain genuinely fires on held-out trigrams:
+    * S(w3|w1w2) = c3/c2(w1w2) if seen, else 0.4·c2(w2w3)/c1(w2),
+    * else 0.4²·c1(w3)/N, else the deterministic floor 0.4³/N.
+    *
+    * Scale shape: the three count tables are vocabulary-sized hash
+    * aggs (exactly the Brants sharding story); the positional trigram
+    * stream left-joins them (dimension-table joins — AQE decides, no
+    * hints) with N as a 1-row in-plan broadcast; each position takes
+    * ONE ln, fixed-point rounded BEFORE the per-doc BIGINT sum (the
+    * nats9 discipline — aggregation order cannot move the result).
+    * The per-position lambdas reference only ATTRIBUTES (w is
+    * projected first), so nothing re-evaluates per element. */
+  def qStupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docsDf(s, dir).select($"doc_id",
+      filter(split($"text", " "), t => length(t) > 0).as("w"))
+    val train = base.where($"doc_id" % 2 === 0)
+    val uni = registerCache(train.select(explode($"w").as("u"))
+      .groupBy($"u").agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val big = registerCache(train.where(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(w)), i -> struct(element_at(w, i-1) AS a, element_at(w, i) AS b))")).as("g"))
+      .select($"g.a".as("a"), $"g.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tric = train.where(size($"w") >= 3)
+      .select(explode(expr(
+        "transform(sequence(3, size(w)), i -> struct(element_at(w, i-2) AS w1, element_at(w, i-1) AS w2, element_at(w, i) AS w3))")).as("t"))
+      .groupBy($"t.w1".as("w1"), $"t.w2".as("w2"), $"t.w3".as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val nTot = uni.agg(sum($"c1").cast("double").as("n"))
+    val tri = base.where(size($"w") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(3, size(w)), i -> struct(element_at(w, i-2) AS w1, element_at(w, i-1) AS w2, element_at(w, i) AS w3))")).as("t"))
+      .select($"doc_id", $"t.w1".as("w1"), $"t.w2".as("w2"), $"t.w3".as("w3"))
+    tri
+      .join(tric, Seq("w1", "w2", "w3"), "left")
+      .join(big.select($"a".as("w1"), $"b".as("w2"), $"c2".as("c2ctx")),
+        Seq("w1", "w2"), "left")
+      .join(big.select($"a".as("w2"), $"b".as("w3"), $"c2".as("c2low")),
+        Seq("w2", "w3"), "left")
+      .join(uni.select($"u".as("w2"), $"c1".as("c1mid")), Seq("w2"), "left")
+      .join(uni.select($"u".as("w3"), $"c1".as("c1w")), Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+      .select($"doc_id", round(log(
+        when($"c3".isNotNull, $"c3".cast("double") / $"c2ctx")
+          .when($"c2low".isNotNull, lit(0.4) * $"c2low" / $"c1mid")
+          .when($"c1w".isNotNull, lit(0.16) * $"c1w" / $"n")
+          .otherwise(lit(0.064) / $"n")) * 1e9).cast("long").as("nats9"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        round(sum($"nats9") / 1e9, 6).as("logprob"))
+      .orderBy($"doc_id")
+  }
+
   /** JL sign matrix (16 in-dims × 8 out-dims), generated from the
     * MinHashDefs 60-bit hash of "jl_i_j" — one shared deterministic
     * constant table that BOTH engines' SQL is generated from (the

@@ -140,6 +140,8 @@ object PlanDump extends App {
     "CCNet perplexity tertiles: the per-doc ppl aggregate persists once and feeds BOTH the 500-doc calibration sample (TakeOrderedAndProject — bounded at any corpus size) and the final per-row bucketing; the only global window runs over the <=500-row sample histogram; cuts broadcast back as a 1-row cross join.")
   dump("q_scd_current", graft.queries.Analytics.qScdCurrent(spark, sf),
     "SCD latest-wins current view (CDC compaction): ONE max(struct(ts, event_id, ...)) partial+final hash aggregate — single-struct group state, map-side combinable; the rank-1 window formulation (the oracle's independent restatement) would buffer and sort whole user partitions.")
+  dump("q_stupid_backoff", graft.queries.Queries.qStupidBackoff(spark, sf),
+    "Stupid-backoff LM scoring (Brants et al.): three vocab-sized count aggs (persisted; the Brants shard story), the positional trigram stream LEFT-joins them (dimension joins, AQE decides), N rides a 1-row broadcast; one ln per position in nats9 fixed point before the per-doc BIGINT sum.")
   dump("q_jl_project", graft.queries.Queries.qJlProject(spark, sf),
     "JL +-1 random projection: pure per-row over the embeddings scan (ReadSchema pruned to vec_id+embedding), fixed-point BIGINT sums per output dim with the fp array LET-BOUND (single-element transform — 8 output lambdas share one round(x*1e6) pass); the only Exchange is the presentation sort.")
   dump("q_cocitation", graft.queries.Queries.qCocitation(spark, sf),

@@ -1004,6 +1004,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("stupid backoff: all four backoff branches score as hand-computed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sb").toString
+    // doc 0 (even -> TRAINS): every its own trigram is seen -> logprob 0
+    // doc 3 (odd -> held out): exercises seen / bigram-backoff /
+    // unigram-backoff / floor, one position each
+    Seq((0L, "a b c d e"), (3L, "b c d q c d"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.qStupidBackoff(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    Queries.releaseCaches()
+    def nats9(s: Double): Long = math.round(math.log(s) * 1e9)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0L) == ((3L, 0.0))) // (abc)(bcd)(cde) all seen with ratio 1
+    // doc 3: (b,c,d) seen 1/1; (c,d,q) floor 0.4^3/5; (d,q,c) unigram
+    // 0.16*c1(c)/5; (q,c,d) bigram 0.4*c2(cd)/c1(c)
+    val expected = Seq(1.0, 0.064 / 5, 0.16 * 1 / 5.0, 0.4 * 1 / 1.0)
+      .map(nats9).sum / 1e9
+    assert(got(3L)._1 == 4L)
+    assert(got(3L)._2 == r6(expected), s"${got(3L)._2} vs $expected")
+  }
+
   test("jl projection: formula exact on basis vectors; signs balanced; scan-only plan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-jl").toString
