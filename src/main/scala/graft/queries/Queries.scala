@@ -19,14 +19,69 @@ import org.apache.spark.sql.functions._
   * the 1-row query vector. */
 object Queries {
 
-  private def docsDf(s: SparkSession, dir: String): DataFrame =
+  /** Adaptive SCAN FAN-OUT (guide §1.2/§2: fix the distributed
+    * algorithm's parallelism before anything else). A small corpus
+    * arrives as ONE parquet file under one row group, so the scan — and
+    * every CPU-heavy per-row map stacked on it (correction, alignment,
+    * shingling, per-char hashing, markup round trips) — runs as a
+    * single task while the other `defaultParallelism - 1` cores idle:
+    * everything upstream of the first Exchange was serial. When the
+    * input is too small to fill the session's parallelism with at least
+    * one openCost-sized split per core, fan out round-robin right after
+    * the read (the sub-MB shuffle is noise next to a 32x map-stage
+    * speedup). At real scale the condition fails and the plan is
+    * UNCHANGED — the fan-out self-disables instead of being a local[32]
+    * constant. Correctness: round-robin repartition local-sorts its
+    * input first (sortBeforeRepartition, Spark default) so the
+    * row→partition map is retry-stable, and every consumer below is
+    * partition-order independent by the battery's bit-exactness
+    * discipline (fixed-point sums, sorted collect_lists, total-order
+    * top-k). The two order-SENSITIVE consumers (modelFor's and
+    * qStErrorModel's un-ordered `limit` training samples) read the raw
+    * scan via fan = false. */
+  private val FanOutBytesPerCore = 4L * 1024 * 1024 // files.openCostInBytes
+  private val inputBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def inputBytes(s: SparkSession, path: String): Long =
+    inputBytesCache.computeIfAbsent(path, p => {
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(hp).getLength
+      } catch { case _: Exception => Long.MaxValue } // unknown: never fan
+    })
+  private[queries] def fanOutSmall(df: DataFrame, path: String): DataFrame = {
+    val s = df.sparkSession
+    val cores = s.sparkContext.defaultParallelism
+    if (inputBytes(s, path) < cores.toLong * FanOutBytesPerCore)
+      df.repartition(cores * 2) // 2 waves: straggler smoothing
+    else df
+  }
+
+  /** Raw single-split scan — ONLY for consumers whose semantics depend
+    * on scan order (un-ordered `limit` sampling) or whose spec pins a
+    * shuffle-free plan (qSampleStratified). */
+  private def docsDfRaw(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  private def docsDf(s: SparkSession, dir: String): DataFrame =
+    fanOutSmall(docsDfRaw(s, dir), s"$dir/documents.parquet")
+
+  private def embDfRaw(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def embDf(s: SparkSession, dir: String): DataFrame =
+    fanOutSmall(embDfRaw(s, dir), s"$dir/embeddings.parquet")
+
   // deterministic OCR-ification of the documents table (training pairs
-  // for the correction dataflow over driver-provided testdata)
-  private def pairsDf(s: SparkSession, dir: String): DataFrame = {
+  // for the correction dataflow over driver-provided testdata).
+  // fan = false keeps the raw scan so an un-ordered limit() downstream
+  // selects the same rows as every previous round (model stability).
+  private def pairsDf(s: SparkSession, dir: String,
+      fan: Boolean = true): DataFrame = {
     import s.implicits._
-    docsDf(s, dir).select($"doc_id", $"text")
+    val base = if (fan) docsDf(s, dir) else docsDfRaw(s, dir)
+    base.select($"doc_id", $"text")
       .as[(Long, String)]
       .map { case (id, text) => (id, DocGen.perturb(text, id), text) }
       .toDF("doc_id", "ocr", "gt")
@@ -114,8 +169,16 @@ object Queries {
       // sets (the synthetic perturbations here are uniformly random, so
       // an unbounded sample densifies the confusion table far beyond
       // real OCR and only slows the cascade down).
+      // raw scan (fan = false): the un-ordered limit must keep selecting
+      // the SAME 500 rows (file order) so the compiled model — and every
+      // correction it produces — is byte-identical across rounds. The
+      // repartition AFTER the limit does not change the selection; it
+      // spreads the 500 per-pair alignments across the cores instead of
+      // leaving them on the single gathered post-limit partition.
       CompiledModel.trainSpark(s,
-        pairsDf(s, dir).select($"ocr", $"gt").as[(String, String)].limit(500))
+        pairsDf(s, dir, fan = false).select($"ocr", $"gt")
+          .as[(String, String)].limit(500)
+          .repartition(s.sparkContext.defaultParallelism))
     })
 
   // ------------------------------------------------------------ A/B/C: sources + lexicon
@@ -382,7 +445,10 @@ object Queries {
     * pair sample, emit the learned (in_ngr, out_ngr, weight) mappings. */
   def qStErrorModel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = pairsDf(s, dir).select($"ocr", $"gt").as[(String, String)]
+    // raw scan (fan = false): un-ordered limit — same 120-row sample as
+    // every previous round (the modelFor discipline)
+    val pairs = pairsDf(s, dir, fan = false).select($"ocr", $"gt")
+      .as[(String, String)]
       .map { case (o, g) => (o.take(40), g.take(40)) } // bound the O(n^2) DP
       .limit(120)
     val st = graft.train.ErrorModelST.fitSpark(s, pairs,
@@ -524,25 +590,38 @@ object Queries {
     * corpus-sized buffer. */
   def qParagraphDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val keyed = docsDf(s, dir)
+    // Round-6 rewrite (guide §8 discipline: decide on lightweight
+    // proxies, move heavy payloads once): the keep decision needs ONLY
+    // (h, pos64) — 16-byte rows — so the md5 shuffle, the join-back and
+    // the per-doc fold all run over skinny rows, and the paragraph TEXT
+    // never shuffles at all (the previous plan dragged every par string
+    // through BOTH the h-join and the doc_id aggregation). pos64
+    // encodes (doc_id, idx), so the verdict re-attaches to the docs
+    // table by doc_id and clean_text is re-derived from each doc's own
+    // row with the same deterministic 8-word chunking.
+    val skinny = docsDf(s, dir)
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", posexplode(transform(
         sequence(lit(0), ceil(size($"ws") / lit(8.0)).cast("int") - 1),
         i => concat_ws(" ", slice($"ws", i * lit(8) + 1, lit(8))))))
-      .select($"doc_id", $"pos".as("idx"), $"col".as("par"))
-      .withColumn("h", md5($"par"))
-      .withColumn("pos64", $"doc_id" * 100000 + $"idx")
-    val firsts = keyed.groupBy($"h").agg(min($"pos64").as("keep_pos"))
-    keyed.join(firsts, "h")
-      .withColumn("kept", $"pos64" === $"keep_pos")
-      .groupBy($"doc_id")
+      .select((col("doc_id") * 100000 + $"pos").as("pos64"), md5($"col").as("h"))
+    val firsts = skinny.groupBy($"h").agg(min($"pos64").as("keep_pos"))
+    val verdicts = skinny.join(firsts, "h")
+      .select($"pos64", ($"pos64" === $"keep_pos").as("kept"))
+      .groupBy(expr("pos64 div 100000").as("doc_id"))
       .agg(count(lit(1)).as("n_pars"),
         sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
-        concat_ws("\n", transform(
-          array_sort(collect_list(when($"kept", struct($"idx", $"par")))),
-          x => x.getField("par"))).as("clean_text"))
+        sort_array(collect_list(when($"kept",
+          expr("CAST(pos64 % 100000 AS INT)")))).as("keep_idx"))
       .where($"n_kept" >= 1)
-      .select($"doc_id", $"n_pars", $"n_kept", $"clean_text")
+    // let-bind the token array via single-element transform (the qWinnow
+    // idiom): a plain `ws` alias would be inlined by projection collapse
+    // and the split re-evaluated once per kept index
+    val cleanText = element_at(transform(array(split($"text", " ")), ws =>
+      concat_ws("\n", transform($"keep_idx",
+        i => concat_ws(" ", slice(ws, i * lit(8) + 1, lit(8)))))), 1)
+    docsDf(s, dir).join(verdicts, "doc_id")
+      .select($"doc_id", $"n_pars", $"n_kept", cleanText.as("clean_text"))
       .orderBy($"doc_id")
   }
 
@@ -786,10 +865,19 @@ object Queries {
     * tables). */
   def qDedupGroups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val exEdges = docsDf(s, dir)
-      .select($"doc_id", min($"doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy(md5($"text")))
-        .as("m"))
+    // exact-dup star edges via the map-side-combinable groupBy + join-back
+    // qDedupExact already uses — NOT min().over(Window.partitionBy(md5)):
+    // a window co-locates and sorts EVERY row of a content-hash group in
+    // one task, so a virally duplicated document at 100x scale becomes a
+    // single task's sort buffer; the groupBy's per-group state is one
+    // BIGINT min and the n >= 2 cut keeps singleton groups (the vast
+    // majority of the corpus) out of the join entirely.
+    val hashed = docsDf(s, dir).select($"doc_id", md5($"text").as("h"))
+    val exKeepers = hashed.groupBy($"h")
+      .agg(min($"doc_id").as("m"), count(lit(1)).as("n"))
+      .where($"n" >= 2)
+      .select($"h", $"m")
+    val exEdges = hashed.join(exKeepers, "h")
       .where($"doc_id" =!= $"m")
       .select($"m".as("a"), $"doc_id".as("b"))
     val jacEdges = ngramJaccardScored(s, dir)
@@ -1540,26 +1628,35 @@ object Queries {
         .toDF("src", "dst")
         .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nodes = registerCache(edges.select($"src".as("url"))
-      .union(edges.select($"dst".as("url"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // raw scores over all nodes (absent = 0), then max-normalize via a
-    // 1-row in-plan broadcast. Each half-step's node-sized table is
-    // PERSISTED: the normalizer reads it twice (max + projection) and
+    // SPARSE half-steps (round-6 rewrite): score tables hold only nodes
+    // the aggregation actually touches — auth over edge DSTs, hub over
+    // edge SRCs — instead of left-joining every raw table back onto the
+    // full node list per half-step. Absent node = score 0, and a 0
+    // score contributes 0 to every downstream sum, so the sparse chain
+    // is integer-identical to the dense one; the max-normalizer is
+    // unchanged too (raw scores are >= 0 and each raw table provably
+    // contains a positive row, so dropping the implicit zeros cannot
+    // move the max). This halves the joins per half-step (1, not 2)
+    // and persists dst-/src-sized tables instead of node-sized ones;
+    // zeros are attached ONCE at the end. Each raw table is still
+    // persisted: the normalizer reads it twice (max + projection) and
     // the next half-step once — without the cache the doubled lineage
-    // re-derives every earlier round, 2^rounds blowup (the
-    // qDedupGroups iteration lesson).
+    // re-derives every earlier round, 2^rounds blowup (the qDedupGroups
+    // iteration lesson).
     def normalized(raw: DataFrame, c: String): DataFrame = {
-      val full = registerCache(nodes.join(raw, Seq("url"), "left")
-        .select($"url", coalesce(col(c), lit(0L)).as(c))
+      val r = registerCache(raw
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      full.crossJoin(broadcast(full.agg(max(col(c)).as("mx"))))
+      r.crossJoin(broadcast(r.agg(max(col(c)).as("mx"))))
         .select($"url", expr(s"$c * $SCALE div mx").as(c))
     }
-    var hub = nodes.select($"url", lit(SCALE).as("h"))
-    var auth = nodes.select($"url", lit(0L).as("a"))
-    for (_ <- 1 to 2) {
-      auth = normalized(
+    // round 1 auth: every hub starts at the constant SCALE, so the
+    // edges-join-hub half-step degenerates to one aggregate over edges
+    var auth = normalized(
+      edges.groupBy($"dst").agg(sum(lit(SCALE) * $"w").as("a"))
+        .withColumnRenamed("dst", "url"), "a")
+    var hub: DataFrame = null
+    for (round <- 1 to 2) {
+      if (round > 1) auth = normalized(
         edges.join(hub, edges("src") === hub("url"))
           .groupBy($"dst").agg(sum($"h" * $"w").as("a"))
           .withColumnRenamed("dst", "url"), "a")
@@ -1568,8 +1665,11 @@ object Queries {
           .groupBy($"src").agg(sum($"a" * $"w").as("h"))
           .withColumnRenamed("src", "url"), "h")
     }
-    auth.join(hub, "url")
-      .select($"url", $"a".as("auth"), $"h".as("hub"))
+    val nodes = edges.select($"src".as("url"))
+      .union(edges.select($"dst".as("url"))).distinct()
+    nodes.join(auth, Seq("url"), "left").join(hub, Seq("url"), "left")
+      .select($"url", coalesce($"a", lit(0L)).as("auth"),
+        coalesce($"h", lit(0L)).as("hub"))
       .orderBy($"url")
   }
 
@@ -1668,7 +1768,7 @@ object Queries {
           element_at(fp, i + 1) * lit(JlSigns(i)(j))).reduce(_ + _)
         round(sum.cast("double") / 1e6 / math.sqrt(K), 6).as(s"y$j")
       }: _*)), 1)
-    s.read.parquet(s"$dir/embeddings.parquet")
+    embDfRaw(s, dir) // raw: spec pins a scan-only (range-sort-only) plan
       .select($"vec_id", row.as("y"))
       .select($"vec_id" +: (0 until K).map(j => col(s"y.y$j").as(s"y$j")): _*)
       .orderBy($"vec_id")
@@ -1806,7 +1906,7 @@ object Queries {
     * accumulation on both sides; the 1-row query side is broadcast). */
   def qAnnCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val e = embDf(s, dir)
     val q = e.where($"vec_id" === 0).select($"embedding".as("qv"))
     val dot = "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
     val na = "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
@@ -1827,7 +1927,7 @@ object Queries {
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigSql = TextOps.lshSigSparkSql("embedding", dim = 64)
-    val sigs = s.read.parquet(s"$dir/embeddings.parquet")
+    val sigs = embDf(s, dir)
       .select($"vec_id", $"embedding", expr(sigSql).as("sig"))
     val q = sigs.where($"vec_id" === 0)
       .select($"embedding".as("qv"), $"sig".as("qsig"))
@@ -1898,7 +1998,7 @@ object Queries {
 
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val e = embDf(s, dir)
     val cos = ivfCos
     // persisted: the 16-row refined centroid table is consumed TWICE
     // (driver-side probe pick + the returned plan's assignment) and its
@@ -1945,7 +2045,7 @@ object Queries {
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigSql = TextOps.lshSigSparkSql("embedding", dim = 64, bits = 32)
-    val banded = s.read.parquet(s"$dir/embeddings.parquet")
+    val banded = embDf(s, dir)
       .select($"vec_id", $"embedding", expr(sigSql).as("sig"))
       .select($"vec_id", $"embedding",
         expr("""stack(4, 0, CAST(shiftright(sig,  0) & 255 AS INT),
@@ -2010,7 +2110,7 @@ object Queries {
     // observed within-cell similarity range so BOTH keep branches are
     // exercised and oracled; a production run sets tau ≈ 0.95+
     val tau = 0.35
-    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val e = embDf(s, dir)
     val cents = registerCache(ivfRefine(e, ivfSeedCentroids(e))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     ensureObserveListener(s)
@@ -2707,7 +2807,7 @@ object Queries {
   def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.HexPrefix64.hexPrefix64
-    docsDf(s, dir)
+    docsDfRaw(s, dir) // raw: spec pins a shuffle-free sampling plan
       .select($"doc_id", $"source",
         (hexPrefix64(md5($"doc_id".cast("string"))) /
           lit(math.pow(2, 60))).as("u"),

@@ -346,9 +346,16 @@ class QueriesSpec extends AnyFunSuite {
       s"64-way min must aggregate over fixed-width BIGINTs in a HashAggregate:\n$plan")
     assert(plan.contains("partial_min"), "map-side partial aggregation required")
     // exactly ONE wide shuffle (doc_id) before the band stack + the
-    // small (band, sig) agg exchange and the presentation sort
-    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange"))
-    assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$plan")
+    // small (band, sig) agg exchange and the presentation sort, plus at
+    // most one round-robin scan fan-out (round 6: tiny single-split
+    // local inputs repartition to the session parallelism so the
+    // per-shingle md5 map stage is not single-task; self-disables on
+    // real-scale inputs)
+    val lines = plan.linesIterator.filter(_.trim.startsWith("+- Exchange")).toSeq
+    val fanOuts = lines.count(_.contains("RoundRobinPartitioning"))
+    assert(fanOuts <= 1, s"at most one scan fan-out:\n$plan")
+    assert(lines.length - fanOuts <= 3,
+      s"unexpected extra shuffles (${lines.length - fanOuts}):\n$plan")
   }
 
   test("local minhash path (streaming) equals the SQL pipeline: mins and band sigs") {
