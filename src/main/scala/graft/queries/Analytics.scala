@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   * exact integer sums. */
 object Analytics {
 
+  /** Fact-table read with the adaptive scan fan-out (see
+    * [[Queries.fanOutSmall]]): a single-split local file otherwise runs
+    * the whole scan-side map stage (date parse, cents fold, shuffle
+    * write) on one core. Self-disables once the input is big enough to
+    * fill the session's parallelism. Dimension tables (nation, region,
+    * part, customer, supplier) stay raw — they end up on broadcast /
+    * build sides where scan parallelism is irrelevant. */
+  private def fact(s: SparkSession, dir: String, name: String): DataFrame =
+    Queries.fanOutSmall(
+      s.read.parquet(s"$dir/$name.parquet"), s"$dir/$name.parquet")
+
   /** Money column -> integer cents (deterministic per row). */
   private def cents(colExpr: String) =
     expr(s"CAST(round(($colExpr) * 100) AS BIGINT)")
@@ -26,7 +37,7 @@ object Analytics {
     * 2-key hash agg; partial+final, no joins). */
   def qTpchPricing(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/lineitem.parquet")
+    fact(s, dir, "lineitem")
       .where($"l_shipdate".cast("date") <= lit("1998-09-02").cast("date"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
@@ -48,9 +59,9 @@ object Analytics {
     * partitions, unlike a global window). */
   def qTpchTopCustomers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val l = s.read.parquet(s"$dir/lineitem.parquet")
+    val l = fact(s, dir, "lineitem")
       .select($"l_orderkey", cents("l_extendedprice * (1 - l_discount)").as("rev_c"))
-    val o = s.read.parquet(s"$dir/orders.parquet")
+    val o = fact(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey")
     val c = s.read.parquet(s"$dir/customer.parquet")
       .select($"c_custkey", $"c_name", $"c_nationkey")
@@ -76,9 +87,9 @@ object Analytics {
     * a 5-way join; 'ALL' labels the rollup levels). */
   def qTpchRevenueRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val l = s.read.parquet(s"$dir/lineitem.parquet")
+    val l = fact(s, dir, "lineitem")
       .select($"l_orderkey", cents("l_extendedprice * (1 - l_discount)").as("rev_c"))
-    val o = s.read.parquet(s"$dir/orders.parquet")
+    val o = fact(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey")
     val c = s.read.parquet(s"$dir/customer.parquet")
       .select($"c_custkey", $"c_nationkey")
@@ -107,7 +118,7 @@ object Analytics {
     * session runs UTC, so Spark and DuckDB read the same parquet value). */
   def qTpchPromo(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val l = s.read.parquet(s"$dir/lineitem.parquet")
+    val l = fact(s, dir, "lineitem")
       .select(date_format($"l_shipdate", "yyyy-MM").as("month"),
         $"l_partkey", cents("l_extendedprice * (1 - l_discount)").as("rev_c"))
     val p = s.read.parquet(s"$dir/part.parquet")
@@ -127,7 +138,7 @@ object Analytics {
     * the fact table (column pruning reaches the scan). */
   def qPartsCold(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bulk = s.read.parquet(s"$dir/lineitem.parquet")
+    val bulk = fact(s, dir, "lineitem")
       .where($"l_quantity" > 45).select($"l_partkey")
     s.read.parquet(s"$dir/part.parquet")
       .join(bulk, $"p_partkey" === $"l_partkey", "left_anti")
@@ -142,7 +153,7 @@ object Analytics {
     * (per-row cast, engine-independent). */
   def qSuppliersHot(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val recent = s.read.parquet(s"$dir/lineitem.parquet")
+    val recent = fact(s, dir, "lineitem")
       .where($"l_quantity" > 49 &&
         $"l_shipdate".cast("date") >= lit("2001-06-01").cast("date"))
       .select($"l_suppkey")
@@ -165,7 +176,7 @@ object Analytics {
   def qEventsAsof(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val ev = s.read.parquet(s"$dir/events.parquet")
+    val ev = fact(s, dir, "events")
       .withColumn("ts", $"ts".cast("timestamp"))
     val tagged = ev.where($"event_type".isin("view", "purchase"))
       .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
@@ -204,7 +215,7 @@ object Analytics {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val GAP_US = 30L * 60 * 1000000
-    val ev = s.read.parquet(s"$dir/events.parquet")
+    val ev = fact(s, dir, "events")
       .select($"user_id", $"event_id",
         unix_micros($"ts".cast("timestamp")).as("us"),
         cents("value").as("value_c"))
@@ -237,7 +248,7 @@ object Analytics {
     * engines) and value as integer cents. */
   def qScdCurrent(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/events.parquet")
+    fact(s, dir, "events")
       .withColumn("ts", $"ts".cast("timestamp")) // NTZ -> LTZ (UTC session)
       .groupBy($"user_id")
       .agg(max(struct($"ts", $"event_id", $"event_type",
@@ -254,7 +265,7 @@ object Analytics {
     * (BIGINT) so the value is timezone-free on both engines. */
   def qEventsWindow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/events.parquet")
+    fact(s, dir, "events")
       .withColumn("ts", $"ts".cast("timestamp")) // NTZ -> LTZ (UTC session)
       .groupBy(window($"ts", "5 minutes"), $"event_type")
       .agg(count(lit(1)).as("n"), sum(cents("value")).as("total_c"))

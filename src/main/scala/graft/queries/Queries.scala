@@ -1579,21 +1579,34 @@ object Queries {
         .toDF("src", "dst")
         .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Round-6 rewrite: SPARSE contributions. The dense formulation
+    // re-attached every round's contrib to the full node list (a join
+    // per round) only so the next round could read rank(src); but
+    // rank(src) = BASE + coalesce(contrib(src), 0) can be evaluated
+    // INSIDE the next round's left join — a src absent from contrib
+    // (no in-links) contributes from its BASE rank exactly as the
+    // dense table did. One left join + one agg per round instead of
+    // two joins + one agg; zeros attach once at the end. The weighted
+    // out-degree table joins edges ONCE and the result persists —
+    // previously ew was re-derived (agg + join) from the edge cache
+    // every round.
+    val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
+    val ew = registerCache(edges.join(outw, "src") // (src, dst, w, ow)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var contrib: DataFrame = null // (url, c): dst-keyed damped in-flow
+    for (round <- 1 to 3) {
+      val rankSql = if (round == 1) s"$SCALE" else s"($BASE + coalesce(c, 0))"
+      val joined = if (round == 1) ew
+        else ew.join(contrib, ew("src") === contrib("url"), "left")
+      contrib = joined
+        .select($"dst", expr(s"(($rankSql * w) div ow) * 85 div 100").as("cc"))
+        .groupBy($"dst").agg(sum($"cc").as("c"))
+        .withColumnRenamed("dst", "url")
+    }
     val nodes = edges.select($"src".as("url"))
       .union(edges.select($"dst".as("url"))).distinct()
-    val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
-    val ew = edges.join(outw, "src") // (src, dst, w, ow)
-    var ranks = nodes.select($"url", lit(SCALE).as("r"))
-    for (_ <- 1 to 3) {
-      val contrib = ew.join(ranks, ew("src") === ranks("url"))
-        .select($"dst".as("url"),
-          expr("((r * w) div ow) * 85 div 100").as("c"))
-        .groupBy($"url").agg(sum($"c").as("c"))
-      ranks = nodes.join(contrib, Seq("url"), "left")
-        .select($"url", (lit(BASE) + coalesce($"c", lit(0L))).as("rank"))
-        .withColumnRenamed("rank", "r")
-    }
-    ranks.select($"url", $"r".as("rank"))
+    nodes.join(contrib, Seq("url"), "left")
+      .select($"url", (lit(BASE) + coalesce($"c", lit(0L))).as("rank"))
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over the same link

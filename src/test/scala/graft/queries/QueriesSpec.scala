@@ -303,6 +303,30 @@ class QueriesSpec extends AnyFunSuite {
       s"collect_set must consume the df-cut join, not the raw shingles:\n$plan")
   }
 
+  test("dedup groups: hot duplicated text resolves via map-side-combinable star edges") {
+    import spark.implicits._
+    // round-6 regression pin: exact-dup edges must come from
+    // groupBy(md5).agg(min) + join-back (per-group state = one BIGINT),
+    // never a min().over(Window.partitionBy(md5)) — a window sorts the
+    // whole hot group in ONE task. Corpus: one text duplicated across
+    // most docs (the viral-boilerplate shape) + two unique docs.
+    val hot = "identical viral boilerplate page shared by almost every document in this corpus"
+    val docs = (0L until 40L).map(i => (i, hot)) ++
+      Seq((40L, "first unique document with its own words entirely"),
+        (41L, "second unique document also unlike anything else here"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotdup").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Queries.qDedupGroups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    Queries.releaseCaches()
+    assert(rows.length == 42)
+    rows.foreach { case (id, canon, keep) =>
+      if (id < 40L) { assert(canon == 0L, s"doc $id canon $canon"); assert(keep == (id == 0L)) }
+      else { assert(canon == id, s"unique doc $id grouped to $canon"); assert(keep) }
+    }
+  }
+
   test("minhash b x r banding admits a near-dup pair, rejects a far pair; agreement verifies") {
     import spark.implicits._
     val base = "the grand duchy archive preserves thousands of handwritten letters from the eighteenth century describing trade routes harvests and township disputes in careful regular script"
