@@ -18,16 +18,15 @@ import org.apache.spark.sql.functions._
   * exact integer sums. */
 object Analytics {
 
-  /** Fact-table read with the adaptive scan fan-out (see
-    * [[Queries.fanOutSmall]]): a single-split local file otherwise runs
-    * the whole scan-side map stage (date parse, cents fold, shuffle
-    * write) on one core. Self-disables once the input is big enough to
-    * fill the session's parallelism. Dimension tables (nation, region,
-    * part, customer, supplier) stay raw — they end up on broadcast /
-    * build sides where scan parallelism is irrelevant. */
+  /** Fact-table read. Measured (round 6, interleaved A/B at sf0.1):
+    * these scans' map stages (date parse, cents fold) are light enough
+    * that the adaptive fan-out's extra exchange costs MORE than the
+    * parallelism gains at single-split local sizes (e.g. q_scd_current
+    * 0.19 s raw vs 0.70 s fanned, q_events_window 0.25 vs 0.72), so —
+    * unlike the CPU-heavy document scans — they read raw; at real
+    * scale the inputs are well-split anyway. */
   private def fact(s: SparkSession, dir: String, name: String): DataFrame =
-    Queries.fanOutSmall(
-      s.read.parquet(s"$dir/$name.parquet"), s"$dir/$name.parquet")
+    s.read.parquet(s"$dir/$name.parquet")
 
   /** Money column -> integer cents (deterministic per row). */
   private def cents(colExpr: String) =

@@ -52,15 +52,29 @@ object Queries {
     })
   private[queries] def fanOutSmall(df: DataFrame, path: String): DataFrame = {
     val s = df.sparkSession
+    // session-settable kill switch (spark.graft.fanout.enabled=false):
+    // cluster operators whose inputs are always well-split can opt out
+    // without a rebuild; default on — the size predicate below already
+    // self-disables on real-scale inputs
+    if (s.conf.get("spark.graft.fanout.enabled", "true") == "false") return df
     val cores = s.sparkContext.defaultParallelism
     if (inputBytes(s, path) < cores.toLong * FanOutBytesPerCore)
       df.repartition(cores * 2) // 2 waves: straggler smoothing
     else df
   }
 
-  /** Raw single-split scan — ONLY for consumers whose semantics depend
-    * on scan order (un-ordered `limit` sampling) or whose spec pins a
-    * shuffle-free plan (qSampleStratified). */
+  /** Raw scan. Used by (a) consumers whose semantics depend on scan
+    * order (un-ordered `limit` sampling), (b) spec-pinned shuffle-free
+    * plans (qSampleStratified), and (c) queries whose per-row map work
+    * is LIGHT — measured by interleaved A/B at sf0.1, the fan-out
+    * exchange (~0.3 s of shuffle + 64-task scheduling) costs more
+    * there than single-core scanning does (e.g. q_token_counts 0.25 s
+    * raw vs 0.60 s fanned, q_cer_lev 0.10 vs 0.19), while the
+    * CPU-heavy maps keep [[docsDf]]'s fan-out (q_winnow 0.38 fanned vs
+    * 3.08 raw, q_confusion_counts 0.54 vs 3.00). This per-call-site
+    * split is engineering knowledge the optimizer does not have
+    * (guide §8); at real scale both paths read identical well-split
+    * scans. */
   private def docsDfRaw(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -186,7 +200,7 @@ object Queries {
   /** A1/B1/C2-shape: whitespace token counts (hash agg). */
   def qTokenCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select(explode(split($"text", " ")).as("token"))
       .where($"token" =!= "")
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
@@ -197,7 +211,7 @@ object Queries {
     * by qLexiconCounts and qLexiconWeights. */
   private def lexiconCountsRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir).select($"text").as[String]
+    docsDfRaw(s, dir).select($"text").as[String]
       .flatMap(LexiconBuilder.lineEmissions)
       .toDF("category", "token", "freq")
       .groupBy($"category", $"token").agg(sum($"freq").as("freq"))
@@ -239,7 +253,7 @@ object Queries {
     * vocabulary-sized dict ever leaves the aggregation. */
   def qLmNgrams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir).select($"text").as[String]
+    docsDfRaw(s, dir).select($"text").as[String]
       .flatMap(graft.correct.CharNgramLm.lineKeys(_, 4))
       .groupBy($"value").agg(count(lit(1)).as("cnt"))
       .select($"value".as("gram"), $"cnt")
@@ -361,7 +375,7 @@ object Queries {
   def qLenPercentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val hist = docsDf(s, dir)
+    val hist = docsDfRaw(s, dir)
       .select($"source", size(split($"text", " ")).as("n_tokens"))
       .groupBy($"source", $"n_tokens").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy($"source").orderBy($"n_tokens")
@@ -384,11 +398,11 @@ object Queries {
     * threshold. */
   def qTrainingJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ocr = docsDf(s, dir)
+    val ocr = docsDfRaw(s, dir)
       .select($"doc_id".as("line_id"),
         regexp_replace($"text", "ch", "h").as("ocr"))
       .where($"line_id" % 3 =!= 0) // partial OCR coverage: exercise inner-join drops
-    val gt = docsDf(s, dir)
+    val gt = docsDfRaw(s, dir)
       .select($"doc_id".as("line_id"), $"text".as("gt"))
     ocr.join(gt, Seq("line_id"), "inner")
       .select($"line_id", $"ocr", $"gt", ($"ocr" === $"gt").as("unchanged"))
@@ -400,7 +414,7 @@ object Queries {
   /** E1/E3: char-trigram top-k (deterministic total order). */
   def qNgramTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir).where(length($"text") >= 3)
+    docsDfRaw(s, dir).where(length($"text") >= 3)
       .select(explode(
         graft.functions.CharNgrams.charNgrams($"text", 3, 3)).as("gram"))
       .groupBy($"gram").agg(count(lit(1)).as("cnt"))
@@ -423,7 +437,7 @@ object Queries {
     * window). */
   def stNgramsTop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir).where(length($"text") >= 1)
+    docsDfRaw(s, dir).where(length($"text") >= 1)
       .select(explode(
         graft.functions.CharNgrams.charNgrams($"text", 1, 3)).as("gram"))
       .groupBy($"gram").agg(count(lit(1)).as("cnt"))
@@ -480,7 +494,7 @@ object Queries {
     * perturbation here is a pure-SQL replace chain, NOT DocGen). */
   def qCerLev(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"text",
         regexp_replace(regexp_replace($"text", "a", "o"), "r", "n").as("ocr"))
       .agg(sum(levenshtein($"ocr", $"text")).as("edits"),
@@ -565,7 +579,7 @@ object Queries {
   /** Exact dedup: content-hash groups with keeper (min doc_id). */
   def qDedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .groupBy(md5($"text").as("h"))
       .agg(count(lit(1)).as("n"), min($"doc_id").as("keeper"))
       .orderBy($"h")
@@ -649,7 +663,7 @@ object Queries {
     * prune-then-verify algebra here is unchanged. */
   def qDedupBloom(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = docsDf(s, dir)
+    val docs = docsDfRaw(s, dir)
     val history = docs.where($"doc_id" % 3 =!= 0).select(md5($"text").as("h"))
     val next = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("next_text"))
     val batch = docs.where($"doc_id" % 3 === 0)
@@ -972,7 +986,7 @@ object Queries {
     * reference impl asserted in FunctionsSpec). */
   def qSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id",
         graft.functions.SimHash64.simhash64($"text").as("simhash"))
       .orderBy($"doc_id")
@@ -996,7 +1010,7 @@ object Queries {
     // and the now-bounded collect_set all ride that partitioning. The
     // drop is surfaced via observe ("simhash_dfcut" — silent-cap parity
     // with jaccard).
-    val banded = docsDf(s, dir)
+    val banded = docsDfRaw(s, dir)
       .select($"doc_id",
         graft.functions.SimHash64.simhash64($"text").as("sh"))
       .select($"doc_id", $"sh",
@@ -1046,7 +1060,7 @@ object Queries {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.HexPrefix64.hexPrefix64
     val K = 40
-    val grams = docsDf(s, dir).where(length($"text") >= K)
+    val grams = docsDfRaw(s, dir).where(length($"text") >= K)
       .select($"doc_id",
         posexplode(graft.functions.CharNgrams.charNgrams($"text", K, K)))
       .select($"doc_id", $"pos", hexPrefix64(md5($"col")).as("gh"))
@@ -1065,7 +1079,7 @@ object Queries {
         ($"pos" + K) - greatest($"pos", coalesce($"prevEnd", lit(0)))).as("add"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("dup_grams"), sum($"add").as("covered"))
-    docsDf(s, dir).select($"doc_id", length($"text").as("n_chars"))
+    docsDfRaw(s, dir).select($"doc_id", length($"text").as("n_chars"))
       .join(cov, Seq("doc_id"), "left")
       .select($"doc_id", $"n_chars",
         coalesce($"dup_grams", lit(0L)).as("dup_grams"),
@@ -1098,7 +1112,7 @@ object Queries {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.HexPrefix64.hexPrefix64
     val K = 40
-    val grams = docsDf(s, dir).where(length($"text") >= K)
+    val grams = docsDfRaw(s, dir).where(length($"text") >= K)
       .select($"doc_id",
         posexplode(graft.functions.CharNgrams.charNgrams($"text", K, K)))
       .select($"doc_id", $"pos", hexPrefix64(md5($"col")).as("gh"),
@@ -1123,7 +1137,7 @@ object Queries {
       .agg(min($"pos").as("start"), max($"pos" + K).as("end"))
     val ivs = merged.groupBy($"doc_id")
       .agg(sort_array(collect_list(struct($"start", $"end"))).as("ivs"))
-    docsDf(s, dir).join(ivs, Seq("doc_id"), "left")
+    docsDfRaw(s, dir).join(ivs, Seq("doc_id"), "left")
       .select($"doc_id", length($"text").as("n_chars"),
         when($"ivs".isNull, $"text").otherwise(expr(
           """aggregate(ivs, named_struct('acc', '', 'p', 0),
@@ -1155,7 +1169,7 @@ object Queries {
     * extraction queries: 3-token text spans indexed k (ord = 2k). */
   private def spanBase(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id",
         filter(split($"text", " "), t => t =!= "").as("w"))
       .where(size($"w") >= 1)
@@ -1266,7 +1280,7 @@ object Queries {
     * which production replaces with the crawler's output. */
   def qWarcExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val shards = docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+    val shards = docsDfRaw(s, dir).select($"doc_id", $"text").as[(Long, String)]
       .groupByKey { case (id, _) => id % 8 }
       .mapGroups { (shard, it) =>
         val docs = it.toArray.sortBy(_._1) // deterministic record order
@@ -1330,7 +1344,7 @@ object Queries {
     * count-shuffle is the whole cost. */
   def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir).select($"doc_id").as[Long]
+    docsDfRaw(s, dir).select($"doc_id").as[Long]
       .map(id => (id, graft.ops.UrlOps.canonicalize(messyUrl(id))))
       .toDF("doc_id", "url")
       .groupBy($"url")
@@ -1354,7 +1368,7 @@ object Queries {
     * partials combine map-side). */
   def qLinkGraph(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir).select($"doc_id").as[Long]
+    docsDfRaw(s, dir).select($"doc_id").as[Long]
       .flatMap { id =>
         val g = id % 97
         val g2 = (id * 7 + 13) % 97
@@ -1394,7 +1408,7 @@ object Queries {
     * target's full anchor set; both aggregates combine map-side). */
   def qAnchorText(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = docsDf(s, dir).select($"doc_id").as[Long]
+    val edges = docsDfRaw(s, dir).select($"doc_id").as[Long]
       .flatMap { id =>
         val g2 = (id * 7 + 13) % 97
         val anchorHtml = (id % 6) match {
@@ -1443,7 +1457,7 @@ object Queries {
     * Scale: per-row map, no shuffle, presentation sort only. */
   def qFixMojibake(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+    docsDfRaw(s, dir).select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, t) =>
         val orig = t + mojibakeSuffixes((id % 4).toInt)
         val cs =
@@ -1469,7 +1483,7 @@ object Queries {
     * + rejoin inside one map), no shuffle, presentation sort only. */
   def qC4Filter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+    docsDfRaw(s, dir).select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
         val ws = text.split(" ")
         val w2 = ws ++ ws // docs have >= 10 words; 6 lines x 3 need 18
@@ -1521,7 +1535,7 @@ object Queries {
     * (scan → map → one hash agg). */
   def qRobotsFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir).select($"doc_id").as[Long]
+    docsDfRaw(s, dir).select($"doc_id").as[Long]
       .flatMap { id =>
         val g = id % 97
         val host = articleHost(g)
@@ -1567,7 +1581,7 @@ object Queries {
     val SCALE = 1000000000000L
     val BASE  = 150000000000L // 0.15 * SCALE
     val edges = registerCache(
-      docsDf(s, dir).select($"doc_id").as[Long]
+      docsDfRaw(s, dir).select($"doc_id").as[Long]
         .flatMap { id =>
           val g = id % 97
           val g2 = (id * 7 + 13) % 97
@@ -1629,7 +1643,7 @@ object Queries {
     import s.implicits._
     val SCALE = 1000000L
     val edges = registerCache(
-      docsDf(s, dir).select($"doc_id").as[Long]
+      docsDfRaw(s, dir).select($"doc_id").as[Long]
         .flatMap { id =>
           val g = id % 97
           val g2 = (id * 7 + 13) % 97
@@ -1805,7 +1819,7 @@ object Queries {
     * pair-keyed hash agg. */
   def qCocitation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = docsDf(s, dir).select($"doc_id").as[Long]
+    val e = docsDfRaw(s, dir).select($"doc_id").as[Long]
       .flatMap { id =>
         val g = id % 97
         val g2 = (id * 7 + 13) % 97
@@ -1840,7 +1854,7 @@ object Queries {
     * however many URLs the scheduler actually dispatches. */
   def qCrawlFrontier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fetch = docsDf(s, dir).select($"doc_id").as[Long]
+    val fetch = docsDfRaw(s, dir).select($"doc_id").as[Long]
       .map(id => graft.ops.UrlOps.canonicalize(messyUrl(id)))
       .toDF("url")
       .groupBy($"url").agg(count(lit(1)).as("demand"))
@@ -1919,7 +1933,7 @@ object Queries {
     * accumulation on both sides; the 1-row query side is broadcast). */
   def qAnnCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = embDf(s, dir)
+    val e = embDfRaw(s, dir)
     val q = e.where($"vec_id" === 0).select($"embedding".as("qv"))
     val dot = "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
     val na = "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
@@ -2180,7 +2194,7 @@ object Queries {
   def qQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val stop = Seq("the", "a", "of", "and", "in")
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id", $"text",
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
       .select($"doc_id",
@@ -2198,7 +2212,7 @@ object Queries {
   /** BPE-ish regex token count (same regex both engines). */
   def qTokenCountRegex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id",
         size(expr(s"regexp_extract_all(text, '${TextOps.BpeishRegex}', 0)"))
           .as("n_bpeish"))
@@ -2215,7 +2229,7 @@ object Queries {
       case (lang, grams) =>
         expr(TextOps.langScoreSql("lo", grams)).as(s"s_$lang")
     }
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id" +: lower($"text").as("lo") +: Nil: _*)
       .select($"doc_id" +: scoreCols: _*)
       .select($"doc_id", expr(TextOps.langChooseSql).as("lang_pred"))
@@ -2225,7 +2239,7 @@ object Queries {
   /** Document fingerprint: md5 of the normalized text. */
   def qFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id",
         md5(trim(regexp_replace(
           regexp_replace(lower($"text"), "[^a-z0-9 ]", ""),
@@ -2246,7 +2260,7 @@ object Queries {
     def grams(n: Int) = // 1-based slice, same shape as the jaccard shingles
       s"""transform(sequence(1, size(w) - ${n - 1}),
             i -> concat_ws(' ', slice(w, i, $n)))"""
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id",
         expr("filter(split(text, ' '), t -> t <> '')").as("w"))
       .where(size($"w") >= 3) // degenerate docs: no bigram/trigram stats
@@ -2289,7 +2303,7 @@ object Queries {
     * by the IP pattern. */
   def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id", expr(PiiAugmentSql).as("aug"))
       .select($"doc_id",
         size(expr(s"regexp_extract_all(aug, '$EmailRe', 0)")).as("n_emails"),
@@ -2352,7 +2366,7 @@ object Queries {
     * TakeOrderedAndProject, never a global sort. */
   def qBpePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wc = docsDf(s, dir)
+    val wc = docsDfRaw(s, dir)
       .select(explode(split($"text", " ")).as("w"))
       .where(length($"w") > 0)
       .groupBy($"w").agg(count(lit(1)).as("c"))
@@ -2396,7 +2410,7 @@ object Queries {
     * replace = greedy scan). */
   def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wc = docsDf(s, dir)
+    val wc = docsDfRaw(s, dir)
       .select(explode(split($"text", " ")).as("w"))
       .where($"w".rlike("^[a-z]+$"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
@@ -2422,7 +2436,7 @@ object Queries {
   def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.TopKMinLongs.topKMin
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id", explode(array_distinct(
         filter(split($"text", " "), t => length(t) > 0))).as("term"))
       .groupBy($"term")
@@ -2503,7 +2517,7 @@ object Queries {
   def qBm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k1 = 1.2; val bb = 0.75
-    val docs = docsDf(s, dir)
+    val docs = docsDfRaw(s, dir)
       .select($"doc_id", filter(split($"text", " "), t => length(t) > 0).as("ws"))
     def tf(t: String): Column = size(filter($"ws", w => w === t))
     val withTf = docs.select(
@@ -2543,7 +2557,7 @@ object Queries {
     val toks = filter(split($"text", " "), t => length(t) > 0)
     val weights = transform(toks, t =>
       (hexPrefix64(md5(t)) % 1024L) * 2654435761L % 1001L - 500L)
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id",
         aggregate(weights, lit(0L), (acc, w) => acc + w).as("score"))
       .withColumn("keep", $"score" > 0)
@@ -2626,7 +2640,7 @@ object Queries {
     * gradient descent. */
   def qNbTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    NaiveBayes.trainWeights(docsDf(s, dir), $"doc_id" % 2 === 0)
+    NaiveBayes.trainWeights(docsDfRaw(s, dir), $"doc_id" % 2 === 0)
       .orderBy($"term")
   }
 
@@ -2637,8 +2651,8 @@ object Queries {
     * subplan is re-derived, the oracle restates it as CTEs. */
   def qNbClassify(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val weights = NaiveBayes.trainWeights(docsDf(s, dir), $"doc_id" % 2 === 0)
-    NaiveBayes.score(docsDf(s, dir), weights).orderBy($"doc_id")
+    val weights = NaiveBayes.trainWeights(docsDfRaw(s, dir), $"doc_id" % 2 === 0)
+    NaiveBayes.score(docsDfRaw(s, dir), weights).orderBy($"doc_id")
   }
 
   /** TF-IDF top terms per document (keyword extraction): tf = term count
@@ -2655,9 +2669,9 @@ object Queries {
     // N stays INSIDE the plan (broadcast 1-row cross join) — an eager
     // .count() here would run a Spark job at builder time, breaking the
     // battery's builder-is-lazy invariant (PlanDump would scan parquet)
-    val nDf = docsDf(s, dir).agg(count(lit(1)).cast("double").as("n"))
+    val nDf = docsDfRaw(s, dir).agg(count(lit(1)).cast("double").as("n"))
     val docTerm = registerCache(
-      docsDf(s, dir)
+      docsDfRaw(s, dir)
         .select($"doc_id", explode(expr(
           "filter(split(text, ' '), t -> t <> '')")).as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tc"))
@@ -2688,7 +2702,7 @@ object Queries {
   private def chunksRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (win, stride) = (64, 48)
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id",
         expr("filter(split(text, ' '), t -> t <> '')").as("w"))
       .where(size($"w") >= 1)
@@ -2729,7 +2743,7 @@ object Queries {
     // qChunkFixed: materializing chunk TEXT (concat_ws over 64 tokens,
     // re-split to count) and a global range sort are both wasted work
     // when only (doc_id, chunk_idx, n_tokens) feeds the packer
-    val chunks = docsDf(s, dir)
+    val chunks = docsDfRaw(s, dir)
       .select($"doc_id",
         expr("size(filter(split(text, ' '), t -> t <> ''))").as("len"))
       .where($"len" >= 1)
@@ -2796,7 +2810,7 @@ object Queries {
   def qSampleMixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.HexPrefix64.hexPrefix64
-    val perSource = docsDf(s, dir)
+    val perSource = docsDfRaw(s, dir)
       .select($"source", size(split($"text", " ")).as("nt"))
       .groupBy($"source").agg(sum($"nt").as("stok"))
       .select($"source", $"stok", expr(MixtureWeightSql).as("w"))
@@ -2807,7 +2821,7 @@ object Queries {
       .select($"source",
         least(lit(1.0), lit(0.5) * $"total" * $"w" / $"sumw" / $"stok")
           .as("rate"))
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id", $"source",
         (hexPrefix64(md5($"doc_id".cast("string"))) /
           lit(math.pow(2, 60))).as("u"))
@@ -2852,7 +2866,7 @@ object Queries {
   def qSampleUpsample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.HexPrefix64.hexPrefix64
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id", $"source",
         (hexPrefix64(md5($"doc_id".cast("string"))) /
           lit(math.pow(2, 60))).as("u"),
@@ -3008,7 +3022,7 @@ object Queries {
   def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.HexPrefix64.hexPrefix64
-    docsDf(s, dir)
+    docsDfRaw(s, dir)
       .select($"doc_id", $"n_chars",
         round(-log(hexPrefix64(md5($"doc_id".cast("string"))) /
           lit(math.pow(2, 60))) / $"n_chars", 9).as("es_key"))
