@@ -886,7 +886,7 @@ object Queries {
     // single task's sort buffer; the groupBy's per-group state is one
     // BIGINT min and the n >= 2 cut keeps singleton groups (the vast
     // majority of the corpus) out of the join entirely.
-    val hashed = docsDf(s, dir).select($"doc_id", md5($"text").as("h"))
+    val hashed = docsDfRaw(s, dir).select($"doc_id", md5($"text").as("h"))
     val exKeepers = hashed.groupBy($"h")
       .agg(min($"doc_id").as("m"), count(lit(1)).as("n"))
       .where($"n" >= 2)
@@ -926,7 +926,7 @@ object Queries {
     val edges = registerCache(
       exEdges.union(jacEdges).union(mhEdges).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val ids = docsDf(s, dir).select($"doc_id".as("id"))
+    val ids = docsDfRaw(s, dir).select($"doc_id".as("id"))
     val (lab, _) = connectedComponents(ids, edges)
     lab.select($"id".as("doc_id"), $"lab".as("canon"),
         ($"lab" === $"id").as("keep"))
@@ -956,7 +956,17 @@ object Queries {
     import s.implicits._
     // symmetric closure so propagation flows both ways
     val sym = edges.union(edges.select($"b".as("a"), $"a".as("b")))
-    var lab = ids.select($"id", $"id".as("lab")).localCheckpoint(true)
+    // SPARSE iteration (round 6): propagate over EDGE-TOUCHED nodes
+    // only. An isolated node never receives a label and never changes
+    // — carrying it through every round's joins, checkpoints and the
+    // convergence count is pure overhead (at corpus scale the label
+    // table was corpus-sized while the duplicate-edge vertex set is
+    // the small interesting subset). Isolated ids re-attach once at
+    // the end with lab = id, which is exactly what the dense loop
+    // produced for them; edge endpoints outside `ids` cannot occur in
+    // any caller (edges are derived from the same table as ids).
+    var lab = sym.select($"a".as("id")).distinct()
+      .select($"id", $"id".as("lab")).localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -978,7 +988,11 @@ object Queries {
       changed = next.where($"lab2" < $"old").count() // bounded: 1 scalar
       lab = next.select($"id", $"lab2".as("lab"))
     }
-    (lab, rounds)
+    // re-attach isolated ids (never touched by an edge): lab = id
+    val full = ids
+      .join(lab.select($"id".as("lid"), $"lab"), ids("id") === $"lid", "left")
+      .select(ids("id").as("id"), coalesce($"lab", ids("id")).as("lab"))
+    (full, rounds)
   }
 
   /** SimHash (rows-only; native Catalyst expression — stays inside
