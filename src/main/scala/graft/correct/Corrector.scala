@@ -125,12 +125,29 @@ object CompiledModel {
       addedWordCost: Double = 0.0, // lexicon_to_fst added_word_cost
       unweightedLexicon: Boolean = false): CompiledModel = {
     import spark.implicits._
-    // C2: distributed lexicon counts over GT lines
-    val lexRows = pairs.map(_._2).flatMap(LexiconBuilder.lineEmissions)
-      .groupByKey { case (c, t, _) => (c, t) }
-      .mapValues(_._3).reduceGroups(_ + _)
-      .map { case ((c, t), f) => (c, t, f) }
-      .collect()
+    // C2 + D1 in ONE distributed pass (round 6): the lexicon counts
+    // (tag n = 0) and the confusion n-gram counts (n >= 1 — disjoint
+    // key space by construction) share a single flatMap + typed
+    // reduce job. The aggregates are identical to the previous
+    // two-job formulation (sum of freqs / count = sum of 1s); what
+    // the merge removes is a whole extra first-queries-of-the-session
+    // job — cold-start measurement put the second job at ~1 s of pure
+    // scheduling/codegen overhead on the battery's largest entry. For
+    // the "st" error model the confusion alignments are not needed,
+    // so that branch keeps the lexicon-only pass.
+    def collectCounts(withConfusion: Boolean)
+        : Array[((Int, String, String), Long)] =
+      pairs.flatMap { case (ocr, gt) =>
+        val lex = LexiconBuilder.lineEmissions(gt)
+          .map { case (c, t, f) => ((0, c, t), f) }
+        if (!withConfusion) lex
+        else lex ++ ErrorModelTrainer.confusionEmissions(ocr, gt, maxContext)
+          .map { case (n, r, g) => ((n, r, g), 1L) }
+      }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .collect()
+    val counts = collectCounts(withConfusion = errorModelType != "st")
+    val lexRows = counts.collect { case ((0, c, t), f) => (c, t, f) }
     val withWordlist = lexRows ++
       wordlist.map { case (w, f) => (graft.train.Category.Words, w, f) }
     def cat(c: String): Map[String, Long] =
@@ -151,13 +168,10 @@ object CompiledModel {
         graft.train.ErrorModelST.compileTransducer(
           mappings, st.ngrProbs, maxErrors, maxContext)
       case _ =>
-        // D1: distributed confusion n-gram counts
-        val confRows = pairs.flatMap { case (ocr, gt) =>
-          ErrorModelTrainer.confusionEmissions(ocr, gt, maxContext)
-        }.groupByKey(identity).count().collect()
+        // D1: confusion n-gram counts from the shared pass
         val byN: Map[Int, Map[(String, String), Long]] =
           (1 to maxContext).map { n =>
-            n -> confRows.collect { case ((`n`, r, g), c) => ((r, g), c) }.toMap
+            n -> counts.collect { case ((`n`, r, g), c) => ((r, g), c) }.toMap
           }.toMap
         val singles = (1 to maxContext).map(n =>
           ErrorModelTrainer.compileSingle(byN(n), preservePunct))
